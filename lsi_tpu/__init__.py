@@ -1,0 +1,27 @@
+"""lsi_tpu — a TPU-native (JAX/XLA/Pallas) layered-scene-inference framework.
+
+Re-implements, TPU-first, the capabilities of google/layered-scene-inference
+(Tulsiani, Tucker, Snavely — "Layer-structured 3D Scene Inference via View
+Synthesis", ECCV 2018): a convolutional encoder-decoder predicts a Layered
+Depth Image (LDI: per-layer texture + disparity) from a single RGB image, and
+a fully differentiable rendering core (projective transforms, bilinear gather
+sampling, forward splatting, soft z-buffer compositing) synthesizes novel
+views so the whole pipeline trains from stereo pairs with view-synthesis
+losses — no direct 3D supervision.
+
+Public API (layouts normative, mirroring the reference — see BASELINE.json):
+    predict_ldi(image) -> LDI          # image (B, H, W, 3) float in [0, 1]
+    render(ldi, pose)  -> image        # novel-view RGB (B, H, W, 3)
+
+with LDI textures (B, L, H, W, 3) and disparities (B, L, H, W, 1).
+
+Reference parity citations use the canonical public repo layout
+(``lsi/geometry/...``) — the mounted reference tree was empty at build time,
+so module-path citations stand in for file:line (see SURVEY.md §0).
+"""
+
+__version__ = "0.1.0"
+
+from lsi_tpu.api import predict_ldi, render, LSIModel  # noqa: F401
+from lsi_tpu.geometry.ldi import LDI  # noqa: F401
+from lsi_tpu.config import Config, RenderConfig, ModelConfig  # noqa: F401

@@ -1,0 +1,135 @@
+"""Frozen configuration tree for models, rendering, data, training and eval.
+
+Replaces the reference's scattered ``tf.app.flags`` (gflags) definitions
+(``lsi/nnutils/train_utils.py`` + per-experiment flags) with one hashable
+frozen-dataclass tree, so configs can ride as jit static arguments, and the
+five BASELINE.json benchmark configurations ship as named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    num_layers: int = 2             # L: LDI layers predicted.
+    base_filters: int = 32          # encoder width at full resolution.
+    num_scales: int = 5             # encoder downsamplings (UNet depth).
+    min_disparity: float = 0.01     # head output range (inverse depth).
+    max_disparity: float = 1.0
+    layer0_texture_from_input: bool = True  # layer-0 RGB = input passthrough.
+    compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32).
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    zbuffer_scale: float = 50.0     # soft z-buffer sharpness (1/temperature).
+    splat_method: str = "scatter"   # "scatter" | "sort" (lax paths).
+    use_pallas: bool = False        # fused Pallas TPU splat kernel.
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    photo_mode: str = "inverse_warp"  # "inverse_warp" | "splat" | "both"
+    min_over_layers: bool = True      # per-pixel min over L (layer specializ.)
+    smoothness_weight: float = 0.05
+    edge_aware_smoothness: bool = True
+    splat_weight: float = 1.0
+    inverse_warp_weight: float = 1.0
+    depth_supervision_weight: float = 0.0  # >0 only when GT depth (SYNTHIA).
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"       # "synthetic" | "kitti" | "synthia"
+    root: str = ""                   # dataset root directory on disk.
+    height: int = 256
+    width: int = 768
+    batch_size: int = 8              # global batch (split across data mesh).
+    augment: bool = True
+    shuffle_buffer: int = 512
+    prefetch: int = 2                # device-side double buffering depth.
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    max_steps: int = 100_000
+    warmup_steps: int = 500
+    grad_clip_norm: float = 10.0
+    checkpoint_dir: str = "/tmp/lsi_tpu_ckpt"
+    checkpoint_every: int = 2000
+    max_to_keep: int = 5
+    log_every: int = 100
+    seed: int = 0
+    remat_decoder: bool = False      # jax.checkpoint on decoder (512x1536).
+    profile_dir: str = ""            # non-empty => jax.profiler traces.
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    render: RenderConfig = RenderConfig()
+    loss: LossConfig = LossConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(**kw) -> Config:
+    return Config(**kw)
+
+
+# The five BASELINE.json evaluation configurations as named presets.
+PRESETS = {
+    # 1: single KITTI stereo pair, 2-layer LDI + inverse-warp view synthesis
+    #    @256x768 (the CPU denominator config).
+    "kitti_ldi2": _cfg(
+        model=ModelConfig(num_layers=2),
+        loss=LossConfig(photo_mode="inverse_warp"),
+        data=DataConfig(dataset="kitti", height=256, width=768, batch_size=1),
+    ),
+    # 2: SYNTHIA 2-layer, forward splatting + soft z-buffer compositing.
+    "synthia_ldi2_splat": _cfg(
+        model=ModelConfig(num_layers=2),
+        loss=LossConfig(photo_mode="splat",
+                        depth_supervision_weight=0.1),
+        data=DataConfig(dataset="synthia", height=256, width=768,
+                        batch_size=8),
+    ),
+    # 3: 3-layer LDI with per-layer texture prediction, batched KITTI eval.
+    "kitti_ldi3_b16": _cfg(
+        model=ModelConfig(num_layers=3, layer0_texture_from_input=False),
+        loss=LossConfig(photo_mode="both"),
+        data=DataConfig(dataset="kitti", height=256, width=768,
+                        batch_size=16),
+    ),
+    # 4: high-res 512x1536 inference + forward-splat render, batch 64.
+    "highres_b64": _cfg(
+        model=ModelConfig(num_layers=2),
+        render=RenderConfig(splat_method="scatter"),
+        loss=LossConfig(photo_mode="splat"),
+        data=DataConfig(dataset="kitti", height=512, width=1536,
+                        batch_size=64),
+        train=TrainConfig(remat_decoder=True),
+    ),
+    # 5: camera-trajectory sweep — one LDI rendered to 60 novel views.
+    "trajectory_sweep": _cfg(
+        model=ModelConfig(num_layers=2),
+        data=DataConfig(dataset="synthetic", height=256, width=768,
+                        batch_size=1),
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(
+            f"unknown config preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name]

@@ -1,0 +1,175 @@
+"""The LDI container and the differentiable LDI render core.
+
+Capability parity with the reference's ``lsi/geometry/ldi.py``: the full
+``render(ldi, pose)`` path — per-layer unproject -> rigid transform ->
+project -> bilinear forward splat with soft z-buffer weights -> divide-safe
+composite — plus the inverse-warp (gather) variant used by the view-synthesis
+losses.
+
+TPU-first design notes:
+  * Layers are folded into the source *height* axis, so one (B, L*H, W)
+    splat accumulates every layer of every batch element into its (B, Ho, Wo)
+    target in a single fused scatter — the soft z-buffer blend happens
+    implicitly through the exp(scale * disparity) weights sharing one
+    normalization (single-pass formulation, SURVEY.md §3.3).
+  * Rendering runs in float32 (weights span ~exp(-scale)); model compute may
+    be bf16 upstream, the render boundary casts.
+  * ``render_forward`` is vmap-able over poses (trajectory sweep) and fully
+    differentiable end-to-end, including the depth -> projected-coordinate ->
+    bilinear-fraction gradient path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+
+from lsi_tpu.geometry import projection
+from lsi_tpu.ops.gather import bilinear_sample
+from lsi_tpu.ops.splat import splat_bilinear
+from lsi_tpu.utils.helpers import divide_safe, log_stable_exp_weight
+
+
+@flax.struct.dataclass
+class LDI:
+    """Layered Depth Image (layouts normative per BASELINE.json).
+
+    Attributes:
+      textures:    (B, L, H, W, 3) per-layer RGB in [0, 1].
+      disparities: (B, L, H, W, 1) per-layer inverse depth, non-increasing
+        across the layer axis (layer 0 = nearest, visible surface).
+      intrinsics:  (B, 3, 3) pinhole K of the camera the LDI lives in.
+    """
+    textures: jnp.ndarray
+    disparities: jnp.ndarray
+    intrinsics: jnp.ndarray
+
+    @property
+    def batch(self) -> int:
+        return self.textures.shape[0]
+
+    @property
+    def num_layers(self) -> int:
+        return self.textures.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.textures.shape[2]
+
+    @property
+    def width(self) -> int:
+        return self.textures.shape[3]
+
+
+def _fold_layers_into_height(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, L, H, W, C) -> (B, L*H, W, C)."""
+    b, l, h, w, c = x.shape
+    return x.reshape(b, l * h, w, c)
+
+
+def render_forward(ldi: LDI,
+                   pose_src2trg: jnp.ndarray,
+                   K_trg: Optional[jnp.ndarray] = None,
+                   out_hw=None,
+                   zbuffer_scale: float = 50.0,
+                   max_disparity: float = 1.0,
+                   splat_method: str = "scatter",
+                   use_pallas: bool = False):
+    """Render an LDI into a novel view by forward splatting.
+
+    Args:
+      ldi: source-frame LDI.
+      pose_src2trg: (B, 4, 4) rigid transform source cam -> target cam.
+      K_trg: (B, 3, 3) target intrinsics; defaults to the LDI's.
+      out_hw: (Ho, Wo) target size; defaults to the LDI's (H, W).
+      zbuffer_scale: soft z-buffer sharpness (weight = exp(scale * (d - d_ref));
+        larger -> harder visibility; gradients flow to all layers).
+      max_disparity: static reference disparity d_ref for weight stability.
+      splat_method: "scatter" | "sort" (see ops/splat.py).
+      use_pallas: route the splat through the fused Pallas TPU kernel.
+    Returns dict with:
+      rgb:       (B, Ho, Wo, 3) composited target image (f32).
+      disparity: (B, Ho, Wo, 1) composited target inverse depth.
+      coverage:  (B, Ho, Wo, 1) accumulated splat weight (0 = hole).
+    """
+    b, l, h, w, _ = ldi.textures.shape
+    if K_trg is None:
+        K_trg = ldi.intrinsics
+    if out_hw is None:
+        out_hw = (h, w)
+
+    # Per-layer correspondences: fold L into batch for the projective math.
+    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
+    rep = lambda m: jnp.repeat(m, l, axis=0)
+    trg_coords, trg_disp, valid = projection.forward_project(
+        disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
+
+    trg_coords = trg_coords.reshape(b, l, h, w, 2)
+    trg_disp = trg_disp.reshape(b, l, h, w, 1)
+    valid = valid.reshape(b, l, h, w, 1)
+
+    # Soft z-buffer weight in the *target* frame (nearer => heavier), fused
+    # with the validity mask; single normalization realizes the blend.
+    zweight = log_stable_exp_weight(trg_disp, zbuffer_scale, max_disparity)
+    weights = zweight * valid
+
+    # One splat for all layers: fold L into source height (indices come from
+    # trg_coords, so source axis layout is free).
+    payload = jnp.concatenate(
+        [ldi.textures.astype(jnp.float32), trg_disp], axis=-1)  # (B,L,H,W,4)
+    if use_pallas:
+        from lsi_tpu.kernels.splat_pallas import splat_pallas
+        accum, wsum = splat_pallas(
+            _fold_layers_into_height(payload),
+            _fold_layers_into_height(trg_coords),
+            _fold_layers_into_height(weights),
+            out_hw)
+    else:
+        accum, wsum = splat_bilinear(
+            _fold_layers_into_height(payload),
+            _fold_layers_into_height(trg_coords),
+            _fold_layers_into_height(weights),
+            out_hw, method=splat_method)
+
+    out = divide_safe(accum, wsum)
+    return {
+        "rgb": out[..., :3],
+        "disparity": out[..., 3:4],
+        "coverage": wsum,
+    }
+
+
+def gather_target_per_layer(ldi: LDI,
+                            target_image: jnp.ndarray,
+                            pose_src2trg: jnp.ndarray,
+                            K_trg: Optional[jnp.ndarray] = None):
+    """Inverse-warp path: sample the target image at each layer's projection.
+
+    For every source pixel and layer, computes where that layer's surface
+    lands in the target view and bilinearly gathers the target color there.
+    This is the reference's gather-based view-synthesis direction (loss is
+    evaluated in the source frame, per layer — enabling the min-over-layers
+    photometric loss without any scatter).
+
+    Returns:
+      sampled: (B, L, H, W, 3) target colors at each layer's correspondence.
+      valid:   (B, L, H, W, 1) in-bounds & in-front mask (float32).
+      trg_disp:(B, L, H, W, 1) per-layer disparity in the target frame.
+    """
+    b, l, h, w, _ = ldi.textures.shape
+    if K_trg is None:
+        K_trg = ldi.intrinsics
+
+    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
+    rep = lambda m: jnp.repeat(m, l, axis=0)
+    trg_coords, trg_disp, in_front = projection.forward_project(
+        disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
+
+    trg_rep = rep(target_image)  # (B*L, Ht, Wt, 3)
+    sampled, in_bounds = bilinear_sample(trg_rep, trg_coords)
+
+    sampled = sampled.reshape(b, l, h, w, 3)
+    valid = (in_front * in_bounds).reshape(b, l, h, w, 1)
+    return sampled, valid, trg_disp.reshape(b, l, h, w, 1)

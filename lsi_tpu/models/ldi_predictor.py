@@ -1,0 +1,68 @@
+"""LDI prediction heads: image -> per-layer (texture, disparity).
+
+Capability parity with the output heads of the reference's
+``lsi/nnutils/nets.py``: L sigmoid disparity maps scaled to
+[min_disparity, max_disparity] with an *enforced depth ordering* across
+layers (deeper layer = strictly smaller disparity, parametrized
+multiplicatively so ordering holds by construction, not by penalty), and L
+RGB textures where layer 0 may be the input-image passthrough (the visible
+surface) while deeper layers are predicted/inpainted.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lsi_tpu.config import ModelConfig
+from lsi_tpu.geometry.ldi import LDI
+from lsi_tpu.models.unet import UNet
+
+
+class LDIPredictor(nn.Module):
+    config: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, intrinsics: jnp.ndarray) -> LDI:
+        """image (B, H, W, 3) in [0,1]; intrinsics (B, 3, 3) -> LDI."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        b, h, w, _ = image.shape
+        l = cfg.num_layers
+
+        feats = UNet(base_filters=cfg.base_filters,
+                     num_scales=cfg.num_scales, dtype=dtype)(image)
+
+        # --- Disparity heads: multiplicative ordering --------------------
+        # Layer 0: d0 = dmin + (dmax - dmin) * sigmoid(raw0).
+        # Layer i>0: d_i = d_{i-1} * (r + (1 - r) * sigmoid(raw_i)), with a
+        # floor ratio r to keep layers separated from 0 disparity.
+        raw_disp = nn.Conv(l, (3, 3), padding="SAME", dtype=dtype,
+                           name="disp_head")(feats)
+        raw_disp = raw_disp.astype(jnp.float32)
+        sig = nn.sigmoid(raw_disp)  # (B, H, W, L)
+        d0 = cfg.min_disparity + (cfg.max_disparity - cfg.min_disparity) * sig[..., 0]
+        disps = [d0]
+        floor_ratio = 0.2
+        for i in range(1, l):
+            ratio = floor_ratio + (1.0 - floor_ratio) * sig[..., i]
+            disps.append(disps[-1] * ratio)
+        disparity = jnp.stack(disps, axis=1)[..., None]  # (B, L, H, W, 1)
+
+        # --- Texture heads ----------------------------------------------
+        num_tex = l - 1 if cfg.layer0_texture_from_input else l
+        if num_tex > 0:
+            raw_tex = nn.Conv(num_tex * 3, (3, 3), padding="SAME", dtype=dtype,
+                              name="tex_head")(feats)
+            tex = nn.sigmoid(raw_tex.astype(jnp.float32))
+            tex = tex.reshape(b, h, w, num_tex, 3)
+            tex = jnp.moveaxis(tex, 3, 1)  # (B, num_tex, H, W, 3)
+        if cfg.layer0_texture_from_input:
+            tex0 = image.astype(jnp.float32)[:, None]  # (B, 1, H, W, 3)
+            textures = (jnp.concatenate([tex0, tex], axis=1)
+                        if num_tex > 0 else tex0)
+        else:
+            textures = tex
+
+        return LDI(textures=textures, disparities=disparity,
+                   intrinsics=intrinsics.astype(jnp.float32))

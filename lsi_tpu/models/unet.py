@@ -1,0 +1,76 @@
+"""UNet/DispNet-style encoder-decoder backbone (Flax linen).
+
+Capability parity with the reference's TF-slim encoder-decoder in
+``lsi/nnutils/nets.py`` (strided-conv encoder with growing channels,
+deconv/upsample decoder with skip concatenation) — re-expressed TPU-first:
+
+  * NHWC layout throughout (native for TPU convolutions).
+  * bf16 compute / f32 params via an explicit ``dtype`` so the conv FLOPs run
+    on the MXU at bf16 rate; heads cast back to f32.
+  * Upsampling is resize-then-conv (avoids transposed-conv checkerboarding
+    and maps to the same MXU conv kernels as the encoder).
+  * Static shapes only; the whole forward traces to one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class UNet(nn.Module):
+    """Returns per-scale decoder features; heads attach at full resolution.
+
+    Attributes:
+      base_filters: channels at the finest scale; doubles per downsampling
+        (capped at 8x base, mirroring compact disp-net widths).
+      num_scales: number of stride-2 downsamplings.
+    """
+    base_filters: int = 32
+    num_scales: int = 5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def scale_filters(self) -> Sequence[int]:
+        return [min(self.base_filters * (2 ** i), self.base_filters * 8)
+                for i in range(self.num_scales)]
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, C) with H, W divisible by 2**num_scales.
+
+        Returns (B, H, W, base_filters) full-resolution decoder features.
+        """
+        x = x.astype(self.dtype)
+        filts = self.scale_filters()
+
+        skips = []
+        for i, f in enumerate(filts):
+            x = ConvBlock(f, stride=1, dtype=self.dtype, name=f"enc{i}a")(x)
+            skips.append(x)
+            x = ConvBlock(f, stride=2, dtype=self.dtype, name=f"enc{i}b")(x)
+
+        x = ConvBlock(filts[-1], dtype=self.dtype, name="bottleneck")(x)
+
+        for i in reversed(range(len(filts))):
+            b, h, w, _ = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+            x = ConvBlock(filts[i], dtype=self.dtype, name=f"dec{i}a")(x)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+            x = ConvBlock(filts[i], dtype=self.dtype, name=f"dec{i}b")(x)
+
+        return x
