@@ -21,22 +21,23 @@ def plane_homography(K_src: jnp.ndarray, K_trg: jnp.ndarray,
                      normal_src: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
     """Homography mapping *target* pixels to *source* pixels for a plane.
 
-    The plane is n^T X = d in the source frame (``normal_src``: (B, 3) unit
-    normal pointing toward the camera, ``depth``: (B,) plane offset d > 0).
+    The plane is {X : n^T X = d} in the source frame (``normal_src``:
+    (B, 3) unit normal, ``depth``: (B,) plane offset d > 0; a fronto-
+    parallel plane at depth z0 is n = (0, 0, 1), d = z0).
 
     Returns (B, 3, 3) H with [x_s, y_s, 1]^T ~ H [x_t, y_t, 1]^T — the
     inverse-warp direction used to gather source texture into the target.
     """
     rot = pose_src2trg[..., :3, :3]
     t = pose_src2trg[..., :3, 3]
-    # Inverse homography (target->source): K_s (R^T + R^T t n^T / (d - n^T R^T t) ... )
-    # Use the closed form via the inverse pose: with T_ts = T_st^-1 = (R^T, -R^T t),
-    # the plane in the target frame has normal n_t = R n, offset d_t = d - n^T R^T ... —
-    # simplest robust route: H_st = K_t (R - t n^T / d) K_s^-1, then invert.
+    # For X_s on the plane, n^T X_s / d == 1, so
+    #   X_t = R X_s + t (n^T X_s / d) = (R + t n^T / d) X_s
+    # giving the source->target homography H_st = K_t (R + t n^T/d) K_s^-1;
+    # the returned target->source map is its inverse.
     n = normal_src[..., None, :]  # (B, 1, 3)
     d = depth[..., None, None]
     h_st = jnp.einsum("...ij,...jk,...kl->...il",
-                      K_trg, rot - t[..., :, None] * n / d,
+                      K_trg, rot + t[..., :, None] * n / d,
                       projection.invert_intrinsics(K_src),
                       precision="highest")
     return jnp.linalg.inv(h_st)

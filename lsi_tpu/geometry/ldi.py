@@ -24,12 +24,13 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from lsi_tpu.geometry import projection
 from lsi_tpu.ops.gather import bilinear_sample
 from lsi_tpu.ops.splat import splat_bilinear
-from lsi_tpu.utils.helpers import divide_safe, log_stable_exp_weight
+from lsi_tpu.utils.helpers import divide_safe
 
 
 @flax.struct.dataclass
@@ -86,7 +87,9 @@ def render_forward(ldi: LDI,
       out_hw: (Ho, Wo) target size; defaults to the LDI's (H, W).
       zbuffer_scale: soft z-buffer sharpness (weight = exp(scale * (d - d_ref));
         larger -> harder visibility; gradients flow to all layers).
-      max_disparity: static reference disparity d_ref for weight stability.
+      max_disparity: unused legacy knob (weight stability is handled by a
+        dynamic per-image shift that cancels in the composite); kept for
+        signature stability.
       splat_method: "scatter" | "sort" (see ops/splat.py).
       use_pallas: route the splat through the fused Pallas TPU kernel.
     Returns dict with:
@@ -111,8 +114,18 @@ def render_forward(ldi: LDI,
     valid = valid.reshape(b, l, h, w, 1)
 
     # Soft z-buffer weight in the *target* frame (nearer => heavier), fused
-    # with the validity mask; single normalization realizes the blend.
-    zweight = log_stable_exp_weight(trg_disp, zbuffer_scale, max_disparity)
+    # with the validity mask; single normalization realizes the blend. The
+    # exp argument is shifted by the per-image max target disparity — the
+    # shift cancels exactly in accum/wsum (numerator and denominator share
+    # the factor), so it changes nothing mathematically but keeps the
+    # largest weight at exactly 1.0, preventing f32 underflow of the whole
+    # accumulator for any zbuffer_scale.
+    d_shift = jax.lax.stop_gradient(
+        jnp.max(jnp.where(valid > 0, trg_disp, -jnp.inf),
+                axis=(1, 2, 3, 4), keepdims=True))
+    d_shift = jnp.maximum(d_shift, 0.0)  # guard: image with no valid pixels
+    zweight = jnp.exp(
+        jnp.float32(zbuffer_scale) * (trg_disp.astype(jnp.float32) - d_shift))
     weights = zweight * valid
 
     # One splat for all layers: fold L into source height (indices come from
@@ -133,7 +146,9 @@ def render_forward(ldi: LDI,
             _fold_layers_into_height(weights),
             out_hw, method=splat_method)
 
-    out = divide_safe(accum, wsum)
+    # Exact >0 test: shifted weights can be astronomically small for
+    # heavily-occluded layers yet still meaningful after normalization.
+    out = divide_safe(accum, wsum, eps=0.0)
     return {
         "rgb": out[..., :3],
         "disparity": out[..., 3:4],

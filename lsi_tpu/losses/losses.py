@@ -69,7 +69,7 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
         zbuffer_scale=render_cfg.zbuffer_scale,
         splat_method=render_cfg.splat_method,
         use_pallas=render_cfg.use_pallas)
-    covered = (out["coverage"] > 1e-6).astype(jnp.float32)
+    covered = (out["coverage"] > 0).astype(jnp.float32)
     err = jnp.mean(_charbonnier(out["rgb"] - target_image.astype(jnp.float32)),
                    axis=-1, keepdims=True)
     return divide_safe(jnp.sum(err * covered), jnp.sum(covered))

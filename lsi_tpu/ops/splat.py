@@ -28,6 +28,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Corner fractions below this are clamped to zero (see _corner_terms).
+MIN_FRACTION = 1e-4
+
 
 def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
     """Shared corner index/weight computation.
@@ -62,7 +65,13 @@ def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
         inb = (xi >= 0) & (xi <= out_w - 1) & (yi >= 0) & (yi <= out_h - 1)
         lin = batch_off + yi * out_w + xi
         idxs.append(jnp.where(inb, lin, -1))
-        wts.append(wgt * inb)
+        w = wgt * inb
+        # Clamp negligible corner fractions to exactly 0 (op semantic, see
+        # docs/parity.md): f32 rounding of near-integer projected coords
+        # yields up-to-~1e-5 fractions that soft z-buffer exp-weights can amplify
+        # above a neighboring pixel's own (much smaller) z-weight, bleeding
+        # color across depth edges. True fractions this small carry no mass.
+        wts.append(jnp.where(w >= MIN_FRACTION, w, 0.0))
     return jnp.stack(idxs), jnp.stack(wts)
 
 

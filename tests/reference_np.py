@@ -89,7 +89,8 @@ def splat_np(values, coords, weights, out_hw):
                                  (1, 0, (1 - fx) * fy),
                                  (1, 1, fx * fy)):
                 yy, xx = y0 + dy, x0 + dx
-                if 0 <= yy < oh and 0 <= xx < ow:
+                # Same MIN_FRACTION clamp as ops/splat.py (op semantic).
+                if 0 <= yy < oh and 0 <= xx < ow and frac >= 1e-4:
                     wgt = frac * weights[y, x]
                     accum[yy, xx] += wgt * values[y, x]
                     wsum[yy, xx] += wgt
@@ -106,15 +107,21 @@ def render_ldi_np(textures, disparities, K, T, zbuffer_scale,
     l, h, w, _ = textures.shape
     accum = np.zeros((h, w, 4), np.float64)
     wsum = np.zeros((h, w), np.float64)
+    # Same per-image max-disparity weight shift as the JAX implementation
+    # (cancels in the composite; makes `coverage` directly comparable).
+    per_layer = [unproject_project_np(disparities[li], K, K, T)
+                 for li in range(l)]
+    d_shift = max(0.0, max(np.max(np.where(v > 0, td, -np.inf))
+                           for _, td, v in per_layer))
     for li in range(l):
-        coords, tdisp, valid = unproject_project_np(disparities[li], K, K, T)
-        zw = np.exp(zbuffer_scale * (tdisp - max_disparity)) * valid
+        coords, tdisp, valid = per_layer[li]
+        zw = np.exp(zbuffer_scale * (tdisp - d_shift)) * valid
         payload = np.concatenate([textures[li], tdisp[..., None]], axis=-1)
         a, s = splat_np(payload, coords, zw, (h, w))
         accum += a
         wsum += s
-    rgb = np.where(wsum[..., None] > 1e-8, accum[..., :3]
+    rgb = np.where(wsum[..., None] > 0, accum[..., :3]
                    / np.maximum(wsum[..., None], 1e-30), 0.0)
-    disp = np.where(wsum > 1e-8, accum[..., 3]
+    disp = np.where(wsum > 0, accum[..., 3]
                     / np.maximum(wsum, 1e-30), 0.0)
     return {"rgb": rgb, "disparity": disp, "coverage": wsum}

@@ -1,0 +1,101 @@
+"""Loss function behavior tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsi_tpu.config import LossConfig, RenderConfig
+from lsi_tpu.geometry import transforms
+from lsi_tpu.geometry.ldi import LDI
+from lsi_tpu.losses import (
+    total_loss, view_synthesis_inverse_warp, view_synthesis_splat,
+    disparity_smoothness, depth_supervision)
+
+
+def make_K(fx=40.0, cx=15.5, cy=7.5):
+    return np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
+
+
+def flat_ldi(rng, h=16, w=32, l=2, d=0.5):
+    tex = rng.uniform(size=(1, l, h, w, 3)).astype(np.float32)
+    disp = np.stack([np.full((1, h, w, 1), d / (i + 1), np.float32)
+                     for i in range(l)], axis=1)
+    return LDI(textures=jnp.asarray(tex), disparities=jnp.asarray(disp),
+               intrinsics=jnp.asarray(make_K()[None]))
+
+
+def test_identity_pose_zero_photometric(rng):
+    """Target == layer-0 texture at identity pose => near-zero loss."""
+    ldi = flat_ldi(rng, l=1)
+    trg = jnp.asarray(np.asarray(ldi.textures)[:, 0])
+    loss = view_synthesis_inverse_warp(ldi, trg,
+                                       transforms.identity_pose((1,)))
+    assert float(loss) < 2e-4  # charbonnier eps floor
+
+
+def test_min_over_layers_ignores_bad_layer(rng):
+    """With one perfect layer and one wrong layer, min-over-layers loss is
+    ~0 while the mean variant is large."""
+    h, w = 8, 16
+    good = rng.uniform(size=(1, 1, h, w, 3)).astype(np.float32)
+    bad = 1.0 - good
+    tex = np.concatenate([good, bad], axis=1)
+    disp = np.concatenate([np.full((1, 1, h, w, 1), 0.5, np.float32),
+                           np.full((1, 1, h, w, 1), 0.25, np.float32)], 1)
+    ldi = LDI(textures=jnp.asarray(tex), disparities=jnp.asarray(disp),
+              intrinsics=jnp.asarray(make_K()[None]))
+    trg = jnp.asarray(good[:, 0])
+    pose = transforms.identity_pose((1,))
+    l_min = view_synthesis_inverse_warp(ldi, trg, pose, min_over_layers=True)
+    l_mean = view_synthesis_inverse_warp(ldi, trg, pose,
+                                         min_over_layers=False)
+    assert float(l_min) < 1e-3
+    assert float(l_mean) > 0.1
+
+
+def test_splat_loss_zero_on_matching_render(rng):
+    ldi = flat_ldi(rng, l=1)
+    trg = jnp.asarray(np.asarray(ldi.textures)[:, 0])
+    loss = view_synthesis_splat(ldi, trg, transforms.identity_pose((1,)),
+                                RenderConfig())
+    assert float(loss) < 2e-4
+
+
+def test_smoothness_flat_zero_nonflat_positive(rng):
+    ldi = flat_ldi(rng)
+    assert float(disparity_smoothness(ldi, edge_aware=False)) < 1e-7
+    bumpy = LDI(
+        textures=ldi.textures,
+        disparities=ldi.disparities + 0.1 * jnp.asarray(
+            rng.uniform(size=ldi.disparities.shape), jnp.float32),
+        intrinsics=ldi.intrinsics)
+    assert float(disparity_smoothness(bumpy, edge_aware=False)) > 1e-3
+
+
+def test_depth_supervision_masks_invalid(rng):
+    ldi = flat_ldi(rng)
+    gt = jnp.asarray(np.full((1, 16, 32, 1), 0.9, np.float32))
+    valid = jnp.zeros((1, 16, 32, 1), jnp.float32)
+    assert float(depth_supervision(ldi, gt, valid)) == 0.0
+    valid_all = jnp.ones_like(valid)
+    assert float(depth_supervision(ldi, gt, valid_all)) > 0.3
+
+
+def test_total_loss_assembles_and_differentiates(rng):
+    ldi = flat_ldi(rng)
+    trg = jnp.asarray(rng.uniform(size=(1, 16, 32, 3)), jnp.float32)
+    pose = transforms.translation_pose(np.array([[0.05, 0, 0]], np.float32))
+    cfg = LossConfig(photo_mode="both")
+
+    def f(disp):
+        l2 = LDI(textures=ldi.textures, disparities=disp,
+                 intrinsics=ldi.intrinsics)
+        return total_loss(l2, trg, pose, cfg, RenderConfig())["total"]
+
+    val, grad = jax.value_and_grad(f)(ldi.disparities)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+    parts = total_loss(ldi, trg, pose, cfg, RenderConfig())
+    assert {"photo_inverse_warp", "photo_splat", "smoothness",
+            "total"} <= set(parts)

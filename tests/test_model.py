@@ -1,0 +1,106 @@
+"""LDI predictor model: shapes, ordering constraint, dtype policy, API."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsi_tpu.api import LSIModel, default_intrinsics, predict_ldi, render
+from lsi_tpu.config import Config, ModelConfig
+from lsi_tpu.geometry import transforms
+from lsi_tpu.models.ldi_predictor import LDIPredictor
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return ModelConfig(num_layers=2, base_filters=8, num_scales=3,
+                       compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def model_and_params(small_cfg):
+    model = LDIPredictor(small_cfg)
+    img = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), img,
+                           default_intrinsics(1, 32, 48))
+    return model, variables["params"]
+
+
+def test_output_layouts(model_and_params, rng):
+    model, params = model_and_params
+    img = jnp.asarray(rng.uniform(size=(2, 32, 48, 3)), jnp.float32)
+    ldi = model.apply({"params": params}, img, default_intrinsics(2, 32, 48))
+    assert ldi.textures.shape == (2, 2, 32, 48, 3)
+    assert ldi.disparities.shape == (2, 2, 32, 48, 1)
+    assert ldi.intrinsics.shape == (2, 3, 3)
+    assert ldi.textures.dtype == jnp.float32
+    assert ldi.disparities.dtype == jnp.float32
+
+
+def test_layer0_texture_is_input(model_and_params, rng):
+    model, params = model_and_params
+    img = jnp.asarray(rng.uniform(size=(1, 32, 48, 3)), jnp.float32)
+    ldi = model.apply({"params": params}, img, default_intrinsics(1, 32, 48))
+    np.testing.assert_allclose(np.asarray(ldi.textures[:, 0]),
+                               np.asarray(img), atol=1e-6)
+
+
+def test_disparity_ordering_and_range(model_and_params, rng):
+    model, params = model_and_params
+    img = jnp.asarray(rng.uniform(size=(1, 32, 48, 3)), jnp.float32)
+    ldi = model.apply({"params": params}, img, default_intrinsics(1, 32, 48))
+    d = np.asarray(ldi.disparities)
+    assert (d > 0).all()
+    assert (d <= 1.0 + 1e-6).all()
+    # strict ordering: deeper layer -> smaller disparity everywhere
+    assert (d[:, 1] < d[:, 0]).all()
+
+
+def test_three_layer_predicted_textures(rng):
+    cfg = ModelConfig(num_layers=3, base_filters=8, num_scales=2,
+                      layer0_texture_from_input=False,
+                      compute_dtype="float32")
+    model = LDIPredictor(cfg)
+    img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(1), img,
+                           default_intrinsics(1, 16, 16))
+    ldi = model.apply(variables, img, default_intrinsics(1, 16, 16))
+    assert ldi.textures.shape == (1, 3, 16, 16, 3)
+    d = np.asarray(ldi.disparities)
+    assert (d[:, 1] < d[:, 0]).all() and (d[:, 2] < d[:, 1]).all()
+    t = np.asarray(ldi.textures)
+    assert (t >= 0).all() and (t <= 1).all()
+
+
+def test_bf16_compute_f32_outputs(rng):
+    cfg = ModelConfig(num_layers=2, base_filters=8, num_scales=2,
+                      compute_dtype="bfloat16")
+    model = LDIPredictor(cfg)
+    img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(2), img,
+                           default_intrinsics(1, 16, 16))
+    # params stay f32
+    leaves = jax.tree.leaves(variables["params"])
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    ldi = model.apply(variables, img, default_intrinsics(1, 16, 16))
+    assert ldi.disparities.dtype == jnp.float32
+
+
+def test_api_end_to_end(rng):
+    cfg = Config(model=ModelConfig(num_layers=2, base_filters=8, num_scales=3,
+                                   compute_dtype="float32"))
+    model = LSIModel.init(jax.random.key(0), cfg, height=32, width=48)
+    img = jnp.asarray(rng.uniform(size=(1, 32, 48, 3)), jnp.float32)
+    ldi = model.predict_ldi(img)
+    assert ldi.textures.shape == (1, 2, 32, 48, 3)
+    pose = transforms.translation_pose(np.array([[0.05, 0, 0]], np.float32))
+    novel = model.render(ldi, pose)
+    assert novel.shape == (1, 32, 48, 3)
+    assert np.isfinite(np.asarray(novel)).all()
+    # functional forms
+    ldi2 = predict_ldi(img, model.params, cfg.model)
+    np.testing.assert_allclose(np.asarray(ldi2.disparities),
+                               np.asarray(ldi.disparities), atol=1e-6)
+    novel2 = render(ldi, pose)
+    np.testing.assert_allclose(np.asarray(novel2), np.asarray(novel),
+                               atol=1e-5)
