@@ -1,0 +1,76 @@
+"""Checkpoint / resume via orbax + portable numpy export.
+
+Capability parity with the reference's ``tf.train.Saver`` periodic
+save / restore-latest idiom (``lsi/nnutils/train_utils.py``), upgraded to
+the TPU-native stack: orbax ``CheckpointManager`` (async-safe, max_to_keep,
+atomic), automatic resume-from-latest on startup (the failure-recovery
+story), plus a pure-numpy ``.npz`` parameter export for portability and
+parity tooling.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of ``state_template``; returns it
+        unchanged if no checkpoint exists (fresh start)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return state_template
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_template))
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def export_params_npz(params, path: str) -> None:
+    """Flatten a param pytree to a portable .npz (keys are '/'-joined)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for keypath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in keypath)
+        out[key] = np.asarray(leaf)
+    np.savez(path, **out)
+
+
+def import_params_npz(params_template, path: str):
+    """Load a .npz export back into the given pytree structure."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    leaves = []
+    for keypath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in keypath)
+        arr = data[key]
+        assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+        leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,190 @@
+"""Training harness: jitted sharded train step + loop.
+
+Capability parity with the reference's ``Trainer`` base class
+(``lsi/nnutils/train_utils.py``: flags, graph assembly of
+data -> net -> render -> loss, Adam, session loop, summaries, Saver) —
+re-designed for TPU:
+
+  * ONE jitted train step containing model forward, differentiable render,
+    losses, backward, and the optimizer update — XLA fuses the whole
+    program; there is no loss/render/optimizer boundary and no per-step
+    Python in the hot path beyond the data iterator.
+  * Data parallelism by sharding annotation: the batch is sharded over the
+    ``data`` mesh axis, parameters/optimizer state are replicated, and XLA
+    emits the gradient all-reduce (ICI) automatically — no pmap, no
+    hand-written collectives (SURVEY.md §5 communication backend).
+  * orbax auto-resume, NaN guard, steps/sec + frames/sec metrics, optional
+    jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from lsi_tpu.config import Config
+from lsi_tpu.data.pipeline import Batch, make_dataset
+from lsi_tpu.losses import total_loss
+from lsi_tpu.models.ldi_predictor import LDIPredictor
+from lsi_tpu.parallel.mesh import MeshPlan, assert_divisible, make_mesh_plan
+from lsi_tpu.train.checkpoint import CheckpointManager
+from lsi_tpu.train.metrics import MetricWriter
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState (params + optax state + step)."""
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.train.learning_rate,
+        warmup_steps=cfg.train.warmup_steps,
+        decay_steps=max(cfg.train.max_steps, cfg.train.warmup_steps + 1),
+        end_value=cfg.train.learning_rate * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip_norm),
+        optax.adam(schedule, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2),
+    )
+
+
+def create_state(cfg: Config, rng) -> TrainState:
+    model = LDIPredictor(cfg.model)
+    h, w = cfg.data.height, cfg.data.width
+    dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
+    dummy_k = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
+    params = model.init(rng, dummy_img, dummy_k)["params"]
+    return TrainState.create(apply_fn=model.apply, params=params,
+                             tx=make_optimizer(cfg))
+
+
+def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
+    """Build the jitted, sharded train step.
+
+    Returns ``step_fn(state, batch) -> (state, metrics)``. With a MeshPlan,
+    in/out shardings are annotated so that the batch stays sharded on the
+    data axis and XLA inserts the gradient all-reduce.
+    """
+    model = LDIPredictor(cfg.model)
+
+    def apply_model(params, image, intrinsics):
+        fn = lambda p, im, K: model.apply({"params": p}, im, K)
+        if cfg.train.remat_decoder:
+            fn = jax.checkpoint(fn)
+        return fn(params, image, intrinsics)
+
+    def loss_fn(params, batch: Batch):
+        ldi = apply_model(params, batch.src_image, batch.intrinsics)
+        parts = total_loss(
+            ldi, batch.trg_image, batch.pose_src2trg,
+            cfg.loss, cfg.render,
+            gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
+        return parts["total"], parts
+
+    def step_fn(state: TrainState, batch: Batch):
+        (_, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(parts)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if plan is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    replicated = plan.replicated()
+    batch_sharded = plan.batch_sharding()
+    # Prefix pytrees: one sharding per argument subtree (robust to optional
+    # Batch fields being None).
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
+@dataclasses.dataclass
+class Trainer:
+    """End-to-end training driver (the reference Trainer re-imagined).
+
+    Usage::
+        t = Trainer(config)
+        t.train()            # resumes from latest checkpoint automatically
+    """
+    config: Config
+
+    def __post_init__(self):
+        self.plan = make_mesh_plan()
+        assert_divisible(self.config.data.batch_size, self.plan)
+        self.writer = MetricWriter(self.config.train.checkpoint_dir)
+        self.ckpt = CheckpointManager(self.config.train.checkpoint_dir,
+                                      self.config.train.max_to_keep)
+        self.step_fn = make_train_step(self.config, self.plan)
+
+    def train(self, max_steps: Optional[int] = None,
+              data_iter=None) -> Tuple[TrainState, Dict[str, Any]]:
+        cfg = self.config
+        max_steps = max_steps or cfg.train.max_steps
+
+        state = create_state(cfg, jax.random.key(cfg.train.seed))
+        state = self.ckpt.restore(state)
+        start_step = int(state.step)
+        state = self.plan.replicate(state)
+
+        if data_iter is None:
+            data_iter = make_dataset(cfg.data, seed=cfg.train.seed,
+                                     sharding=self.plan.batch_sharding())
+
+        profiling = bool(cfg.train.profile_dir)
+        if profiling:
+            jax.profiler.start_trace(cfg.train.profile_dir)
+
+        last_metrics: Dict[str, Any] = {}
+        t_last = time.time()
+        frames = 0
+        try:
+            for step in range(start_step, max_steps):
+                batch = next(data_iter)
+                state, metrics = self.step_fn(state, batch)
+                frames += cfg.data.batch_size
+
+                if (step + 1) % cfg.train.log_every == 0 or \
+                        step + 1 == max_steps:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    if not all(map(_finite, metrics.values())):
+                        # Failure detection: halt on NaN/inf rather than
+                        # burning accelerator time on a dead run.
+                        self.ckpt.save(step + 1, jax.device_get(state))
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step + 1}: {metrics}")
+                    now = time.time()
+                    dt = now - t_last
+                    metrics["steps_per_sec"] = cfg.train.log_every / dt
+                    metrics["frames_per_sec"] = frames / dt
+                    t_last, frames = now, 0
+                    self.writer.write(step + 1, metrics)
+                    last_metrics = metrics
+
+                if (step + 1) % cfg.train.checkpoint_every == 0 or \
+                        step + 1 == max_steps:
+                    self.ckpt.save(step + 1, jax.device_get(state))
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+            self.ckpt.wait()
+        return state, last_metrics
+
+
+def _finite(x) -> bool:
+    try:
+        return bool(jnp.isfinite(x))
+    except TypeError:
+        return True

@@ -1,0 +1,72 @@
+"""Synthetic dataset + input pipeline tests."""
+
+import numpy as np
+import jax
+
+from lsi_tpu.config import DataConfig
+from lsi_tpu.data import synthetic
+from lsi_tpu.data.pipeline import make_dataset
+
+
+def test_scene_geometric_consistency(rng):
+    """The analytic stereo pair must satisfy the warp equation: warping the
+    target image back with GT disparity reproduces the source (away from
+    occlusion boundaries)."""
+    s = synthetic.make_scene(rng, 32, 64, baseline=0.3)
+    fx = s.intrinsics[0, 0]
+    h, w = s.src_image.shape[:2]
+    shift = fx * 0.3 * s.gt_visible_disparity  # pixels moved left in target
+    xs = np.arange(w, dtype=np.float32)[None, :] - shift
+    # bilinear sample target at xs
+    x0 = np.floor(xs).astype(int)
+    f = xs - x0
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    rows = np.arange(h)[:, None]
+    resampled = ((1 - f)[..., None] * s.trg_image[rows, x0c]
+                 + f[..., None] * s.trg_image[rows, x1c])
+    valid = (xs >= 0) & (xs <= w - 1)
+    err = np.abs(resampled - s.src_image).mean(-1)
+    # exclude pixels near depth edges (disocclusions)
+    d = s.gt_visible_disparity
+    edge = np.abs(np.diff(d, axis=1, prepend=d[:, :1])) > 1e-3
+    for k in range(1, 6):
+        edge |= np.roll(edge, k, axis=1) | np.roll(edge, -k, axis=1)
+    keep = valid & ~edge
+    assert keep.mean() > 0.5
+    assert err[keep].mean() < 0.02
+
+
+def test_scene_determinism():
+    a = list(synthetic.generate(7, 16, 24, 2))
+    b = list(synthetic.generate(7, 16, 24, 2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.src_image, y.src_image)
+        np.testing.assert_array_equal(x.pose_src2trg, y.pose_src2trg)
+
+
+def test_pipeline_batches_and_prefetch():
+    cfg = DataConfig(dataset="synthetic", height=16, width=24, batch_size=4,
+                     prefetch=2)
+    it = make_dataset(cfg, seed=0)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1.src_image.shape == (4, 16, 24, 3)
+    assert b1.intrinsics.shape == (4, 3, 3)
+    assert b1.pose_src2trg.shape == (4, 4, 4)
+    assert b1.gt_disparity.shape == (4, 16, 24, 1)
+    assert not np.array_equal(np.asarray(b1.src_image),
+                              np.asarray(b2.src_image))
+
+
+def test_pipeline_sharded_layout():
+    from lsi_tpu.parallel.mesh import make_mesh_plan
+    plan = make_mesh_plan()
+    assert plan.num_devices == 8  # virtual CPU mesh from conftest
+    cfg = DataConfig(dataset="synthetic", height=16, width=24, batch_size=8)
+    it = make_dataset(cfg, seed=0, sharding=plan.batch_sharding())
+    b = next(it)
+    assert len(b.src_image.sharding.device_set) == 8
+    # each device holds 1/8 of the batch
+    shard = b.src_image.addressable_shards[0]
+    assert shard.data.shape == (1, 16, 24, 3)

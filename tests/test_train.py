@@ -1,0 +1,122 @@
+"""Train-step + overfit integration tests on the virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsi_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
+                            RenderConfig, TrainConfig)
+from lsi_tpu.data.pipeline import make_dataset
+from lsi_tpu.parallel.mesh import make_mesh_plan
+from lsi_tpu.train.trainer import create_state, make_train_step
+
+
+def tiny_config(tmpdir="/tmp/lsi_test_ckpt", photo_mode="inverse_warp"):
+    return Config(
+        model=ModelConfig(num_layers=2, base_filters=8, num_scales=3,
+                          compute_dtype="float32"),
+        render=RenderConfig(zbuffer_scale=30.0),
+        loss=LossConfig(photo_mode=photo_mode, smoothness_weight=0.01),
+        data=DataConfig(dataset="synthetic", height=32, width=64,
+                        batch_size=8, prefetch=1),
+        train=TrainConfig(learning_rate=1e-3, warmup_steps=10,
+                          max_steps=100, checkpoint_dir=tmpdir,
+                          log_every=10, checkpoint_every=1000),
+    )
+
+
+def test_train_step_runs_and_decreases_loss():
+    cfg = tiny_config()
+    plan = make_mesh_plan()
+    step_fn = make_train_step(cfg, plan)
+    state = plan.replicate(create_state(cfg, jax.random.key(0)))
+    it = make_dataset(cfg.data, seed=0, sharding=plan.batch_sharding())
+    batch = next(it)
+
+    losses = []
+    for i in range(60):
+        state, metrics = step_fn(state, batch)  # overfit one batch
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+@pytest.mark.parametrize("photo_mode", ["splat", "both"])
+def test_train_step_other_loss_modes(photo_mode):
+    cfg = tiny_config(photo_mode=photo_mode)
+    plan = make_mesh_plan()
+    step_fn = make_train_step(cfg, plan)
+    state = plan.replicate(create_state(cfg, jax.random.key(0)))
+    it = make_dataset(cfg.data, seed=0, sharding=plan.batch_sharding())
+    batch = next(it)
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["total"]))
+
+
+def test_sharded_equals_single_device():
+    """DP over 8 devices must produce the same update as 1 device."""
+    cfg = tiny_config()
+    plan = make_mesh_plan()
+    plan1 = make_mesh_plan(devices=jax.devices()[:1])
+
+    state8 = plan.replicate(create_state(cfg, jax.random.key(0)))
+    state1 = plan1.replicate(create_state(cfg, jax.random.key(0)))
+
+    it = make_dataset(cfg.data, seed=0)
+    batch = next(it)  # unsharded host batch
+
+    step8 = make_train_step(cfg, plan)
+    step1 = make_train_step(cfg, plan1)
+    s8, m8 = step8(state8, plan.shard_batch(batch))
+    s1, m1 = step1(state1, plan1.shard_batch(batch))
+
+    np.testing.assert_allclose(float(m8["total"]), float(m1["total"]),
+                               rtol=1e-5)
+    l8 = jax.tree.leaves(s8.params)
+    l1 = jax.tree.leaves(s1.params)
+    for a, b in zip(l8, l1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_gt_depth_supervision_mode():
+    cfg = tiny_config()
+    cfg = Config(model=cfg.model, render=cfg.render,
+                 loss=LossConfig(photo_mode="inverse_warp",
+                                 depth_supervision_weight=0.5),
+                 data=cfg.data, train=cfg.train)
+    plan = make_mesh_plan()
+    step_fn = make_train_step(cfg, plan)
+    state = plan.replicate(create_state(cfg, jax.random.key(0)))
+    it = make_dataset(cfg.data, seed=0, sharding=plan.batch_sharding())
+    state, metrics = step_fn(state, next(it))
+    assert "depth_supervision" in metrics
+    assert np.isfinite(float(metrics["depth_supervision"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from lsi_tpu.train.checkpoint import (CheckpointManager,
+                                          export_params_npz,
+                                          import_params_npz)
+    cfg = tiny_config()
+    state = create_state(cfg, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(5, jax.device_get(state))
+    mgr.wait()
+    assert mgr.latest_step() == 5
+
+    fresh = create_state(cfg, jax.random.key(1))
+    restored = mgr.restore(jax.device_get(fresh))
+    a = jax.tree.leaves(restored.params)
+    b = jax.tree.leaves(state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    mgr.close()
+
+    # numpy export/import
+    path = str(tmp_path / "params.npz")
+    export_params_npz(state.params, path)
+    again = import_params_npz(fresh.params, path)
+    for x, y in zip(jax.tree.leaves(again), b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
