@@ -1,0 +1,167 @@
+"""Benchmark harness — headline: frames/sec/chip, LDI predict + splat render.
+
+Prints ONE JSON line to stdout:
+    {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against the locally-measured TF1-CPU-equivalent
+denominator (the same predict+render pipeline jitted on the CPU backend,
+batch 1 — BASELINE.json config 1; the reference publishes no numbers, see
+BASELINE.md). Secondary per-config numbers go to stderr.
+
+Usage: python bench.py [--quick] [--no-cpu] [--pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Make both the accelerator and CPU platforms available in one process.
+# The image's sitecustomize force-sets the axon platform via jax.config, so
+# the env var alone is not enough — re-assert through jax.config before any
+# backend initializes.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    _plat = _plat + ",cpu"
+    os.environ["JAX_PLATFORMS"] = _plat
+
+import jax  # noqa: E402
+
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_pipeline(height, width, num_layers, use_pallas, splat_method,
+                   batch):
+    from lsi_tpu.api import default_intrinsics
+    from lsi_tpu.config import Config, ModelConfig
+    from lsi_tpu.geometry.ldi import render_forward
+    from lsi_tpu.geometry.transforms import translation_pose
+    from lsi_tpu.models.ldi_predictor import LDIPredictor
+    from lsi_tpu.train.trainer import create_state
+
+    cfg = Config(model=ModelConfig(num_layers=num_layers))
+    model = LDIPredictor(cfg.model)
+    state = create_state(cfg, jax.random.key(0))
+    intrinsics = default_intrinsics(batch, height, width)
+    pose = jnp.broadcast_to(
+        translation_pose(np.array([-0.3, 0.0, 0.0], np.float32))[None],
+        (batch, 4, 4))
+
+    def forward(params, image):
+        ldi = model.apply({"params": params}, image, intrinsics)
+        out = render_forward(ldi, pose, zbuffer_scale=50.0,
+                             splat_method=splat_method,
+                             use_pallas=use_pallas)
+        return out["rgb"]
+
+    return state.params, jax.jit(forward)
+
+
+def time_fn(fn, args, iters, warmup=2):
+    for _ in range(warmup):
+        fn(*args).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def measure(device, height, width, num_layers, batch, iters,
+            use_pallas=False, splat_method="scatter"):
+    with jax.default_device(device):
+        params, fn = build_pipeline(height, width, num_layers, use_pallas,
+                                    splat_method, batch)
+        params = jax.device_put(params, device)
+        image = jax.device_put(
+            jnp.asarray(np.random.default_rng(0).uniform(
+                size=(batch, height, width, 3)), jnp.float32), device)
+        dt = time_fn(fn, (params, image), iters)
+    return batch / dt  # frames/sec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer iterations")
+    ap.add_argument("--no-cpu", action="store_true",
+                    help="skip the CPU denominator (vs_baseline = 0)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas splat kernel on the accelerator")
+    ap.add_argument("--all-configs", action="store_true",
+                    help="also run the secondary BASELINE configs")
+    args = ap.parse_args()
+
+    h, w, layers = 256, 768, 2
+    accel = jax.devices()[0]
+    on_accel = accel.platform != "cpu"
+    iters = 5 if args.quick else 20
+
+    log(f"accelerator: {accel} (platform={accel.platform})")
+    fps_accel = measure(accel, h, w, layers, batch=8, iters=iters,
+                        use_pallas=args.pallas)
+    log(f"accel predict+render @{h}x{w} L={layers}: {fps_accel:.2f} frames/s")
+
+    vs_baseline = 0.0
+    if not args.no_cpu:
+        try:
+            cpu = jax.devices("cpu")[0]
+            fps_cpu = measure(cpu, h, w, layers, batch=1,
+                              iters=2 if args.quick else 3, )
+            log(f"cpu denominator: {fps_cpu:.3f} frames/s")
+            vs_baseline = fps_accel / fps_cpu if fps_cpu > 0 else 0.0
+        except Exception as e:  # CPU platform unavailable
+            log(f"cpu denominator unavailable: {e}")
+
+    if args.all_configs:
+        from lsi_tpu.config import RenderConfig
+        from lsi_tpu.evaluation.trajectory import render_trajectory
+        from lsi_tpu.geometry.ldi import LDI
+
+        # config 3: 3-layer batched eval b16
+        fps3 = measure(accel, h, w, 3, batch=16, iters=max(2, iters // 2),
+                       use_pallas=args.pallas)
+        log(f"[cfg3] 3-layer b16: {fps3:.2f} frames/s")
+        # config 5: trajectory sweep 60 views from one LDI
+        rng = np.random.default_rng(0)
+        tex = jnp.asarray(rng.uniform(size=(1, layers, h, w, 3)), jnp.float32)
+        disp = jnp.asarray(
+            np.sort(rng.uniform(0.05, 0.8, (1, layers, h, w, 1)), axis=1)[:, ::-1],
+            jnp.float32)
+        K = jnp.asarray(np.array(
+            [[0.95 * w, 0, (w - 1) / 2], [0, 0.95 * w, (h - 1) / 2],
+             [0, 0, 1]], np.float32)[None])
+        ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+        rcfg = RenderConfig(use_pallas=args.pallas)
+        render_trajectory(ldi, 60, render_cfg=rcfg).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            render_trajectory(ldi, 60, render_cfg=rcfg).block_until_ready()
+        dt = (time.perf_counter() - t0) / 3
+        log(f"[cfg5] trajectory 60 views: {60 / dt:.2f} views/s")
+
+    result = {
+        "metric": ("frames/sec/chip, 2-layer LDI predict + splat render "
+                   f"@{h}x{w}" + (" (pallas)" if args.pallas else "")),
+        "value": round(fps_accel, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if not on_accel:
+        result["note"] = "no accelerator visible; measured on CPU"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

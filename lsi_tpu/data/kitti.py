@@ -1,0 +1,167 @@
+"""KITTI raw stereo-pair dataset.
+
+Capability parity with the reference's KITTI loader (``lsi/data/kitti/…``):
+indexes KITTI-raw city/residential/road drives, parses
+``calib_cam_to_cam.txt`` for the rectified color-camera intrinsics
+(P_rect_02 / P_rect_03) and the stereo baseline, loads left/right image
+pairs, resizes to the training resolution (rescaling K accordingly), applies
+photometric + left-right-swap augmentation, and streams (src, trg, K, pose)
+examples. Directory layout expected::
+
+    <root>/<date>/<date>_drive_<id>_sync/image_02/data/*.png   (left)
+    <root>/<date>/<date>_drive_<id>_sync/image_03/data/*.png   (right)
+    <root>/<date>/calib_cam_to_cam.txt
+
+Images are decoded with PIL if available (TF not required); resize is
+antialiased bilinear via PIL, matching standard KITTI preprocessing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+from lsi_tpu.config import DataConfig
+
+# KITTI rectified stereo: right camera is `baseline` meters to the LEFT
+# camera's +x. Points in the left frame map to the right frame by
+# x -> x - baseline.
+
+
+def parse_calib_cam_to_cam(path: str) -> Dict[str, np.ndarray]:
+    """Parse KITTI's calib_cam_to_cam.txt into {key: float array}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, val = line.split(":", 1)
+            try:
+                out[key.strip()] = np.asarray(
+                    [float(v) for v in val.split()], np.float64)
+            except ValueError:
+                continue  # calib_time etc.
+    return out
+
+
+def stereo_params(calib: Dict[str, np.ndarray]) -> Tuple[np.ndarray, float]:
+    """Intrinsics K (left rectified color cam) + baseline in meters.
+
+    From the 3x4 projection matrices: P_rect_02 = K [I | -K^-1 p2] etc.;
+    baseline = (p2_x - p3_x) / fx where p*_x is P[0, 3].
+    """
+    p2 = calib["P_rect_02"].reshape(3, 4)
+    p3 = calib["P_rect_03"].reshape(3, 4)
+    K = p2[:3, :3].astype(np.float32)
+    fx = K[0, 0]
+    baseline = float((p2[0, 3] - p3[0, 3]) / fx)
+    return K, abs(baseline)
+
+
+def index_drives(root: str) -> List[dict]:
+    """Find all (left_img, right_img, calib) frame records under root."""
+    records = []
+    if not os.path.isdir(root):
+        return records
+    for date in sorted(os.listdir(root)):
+        date_dir = os.path.join(root, date)
+        calib_path = os.path.join(date_dir, "calib_cam_to_cam.txt")
+        if not os.path.isdir(date_dir) or not os.path.exists(calib_path):
+            continue
+        for drive in sorted(os.listdir(date_dir)):
+            ldir = os.path.join(date_dir, drive, "image_02", "data")
+            rdir = os.path.join(date_dir, drive, "image_03", "data")
+            if not (os.path.isdir(ldir) and os.path.isdir(rdir)):
+                continue
+            for fname in sorted(os.listdir(ldir)):
+                rpath = os.path.join(rdir, fname)
+                if fname.endswith(".png") and os.path.exists(rpath):
+                    records.append({
+                        "left": os.path.join(ldir, fname),
+                        "right": rpath,
+                        "calib": calib_path,
+                    })
+    return records
+
+
+def _load_image(path: str, height: int, width: int) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    orig_w, orig_h = img.size
+    img = img.resize((width, height), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr, (orig_h, orig_w)
+
+
+def _photometric_augment(rng: np.random.Generator, *imgs):
+    """Shared brightness/contrast/color jitter (same for both views)."""
+    gamma = rng.uniform(0.8, 1.2)
+    brightness = rng.uniform(0.8, 1.2)
+    colors = rng.uniform(0.9, 1.1, size=(3,)).astype(np.float32)
+    out = []
+    for im in imgs:
+        im = im ** gamma * brightness * colors
+        out.append(np.clip(im, 0.0, 1.0).astype(np.float32))
+    return out
+
+
+def example_stream(cfg: DataConfig, seed: int, repeat: bool
+                   ) -> Iterator[dict]:
+    """Yield single-example dicts for the pipeline (see pipeline.py)."""
+    from lsi_tpu.geometry import projection as proj_np  # scale math only
+    import jax.numpy as jnp  # noqa: F401  (scale_intrinsics is jnp-based)
+
+    records = index_drives(cfg.root)
+    if not records:
+        raise FileNotFoundError(
+            f"no KITTI records under {cfg.root!r} — expected "
+            "<root>/<date>/<date>_drive_*_sync/image_0{2,3}/data/*.png")
+    rng = np.random.default_rng(seed)
+    calib_cache: Dict[str, Tuple[np.ndarray, float]] = {}
+
+    epoch = 0
+    while True:
+        order = rng.permutation(len(records)) if cfg.augment else \
+            np.arange(len(records))
+        for i in order:
+            rec = records[i]
+            if rec["calib"] not in calib_cache:
+                calib_cache[rec["calib"]] = stereo_params(
+                    parse_calib_cam_to_cam(rec["calib"]))
+            K_full, baseline = calib_cache[rec["calib"]]
+
+            left, (oh, ow) = _load_image(rec["left"], cfg.height, cfg.width)
+            right, _ = _load_image(rec["right"], cfg.height, cfg.width)
+
+            K = np.asarray(proj_np.scale_intrinsics(
+                K_full[None], cfg.width / ow, cfg.height / oh))[0]
+
+            # left->right: right camera at +baseline along x in left coords
+            # => points move by -baseline in the right frame.
+            pose = np.eye(4, dtype=np.float32)
+            pose[0, 3] = -baseline
+            src, trg = left, right
+
+            if cfg.augment:
+                if rng.uniform() < 0.5:
+                    # swap roles: predict from the right image instead
+                    src, trg = trg, src
+                    pose = pose.copy()
+                    pose[0, 3] = baseline
+                src, trg = _photometric_augment(rng, src, trg)
+
+            yield {
+                "src_image": src,
+                "trg_image": trg,
+                "intrinsics": K.astype(np.float32),
+                "pose_src2trg": pose,
+                "gt_disparity": np.zeros(
+                    (cfg.height, cfg.width, 1), np.float32),
+                "gt_valid": np.zeros(
+                    (cfg.height, cfg.width, 1), np.float32),
+            }
+        if not repeat:
+            return
+        epoch += 1

@@ -1,0 +1,115 @@
+"""KITTI/SYNTHIA loaders against tiny fake dataset trees."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lsi_tpu.config import DataConfig
+from lsi_tpu.data import kitti, synthia
+from lsi_tpu.data.pipeline import make_dataset
+
+
+def _png(path, h, w, value=None, mode="RGB", dtype=np.uint8):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if value is None:
+        arr = np.random.default_rng(0).integers(
+            0, 255, (h, w, 3), dtype=np.uint8)
+    else:
+        arr = np.full((h, w, 3) if mode == "RGB" else (h, w), value,
+                      dtype=dtype)
+    Image.fromarray(arr, mode=mode if mode != "I;16" else None).save(path)
+
+
+CALIB = """calib_time: 09-Jan-2012 13:57:47
+P_rect_02: 7.215377e+02 0.000000e+00 6.095593e+02 4.485728e+01 0.000000e+00 7.215377e+02 1.728540e+02 2.163791e-01 0.000000e+00 0.000000e+00 1.000000e+00 2.745884e-03
+P_rect_03: 7.215377e+02 0.000000e+00 6.095593e+02 -3.395242e+02 0.000000e+00 7.215377e+02 1.728540e+02 2.199936e+00 0.000000e+00 0.000000e+00 1.000000e+00 2.729905e-03
+"""
+
+
+@pytest.fixture
+def kitti_root(tmp_path):
+    root = tmp_path / "kitti"
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    for cam in ("image_02", "image_03"):
+        for i in range(3):
+            _png(str(root / date / drive / cam / "data" / f"{i:010d}.png"),
+                 64, 192)
+    (root / date / "calib_cam_to_cam.txt").write_text(CALIB)
+    return str(root)
+
+
+def test_kitti_calib_parsing(kitti_root):
+    calib = kitti.parse_calib_cam_to_cam(
+        os.path.join(kitti_root, "2011_09_26", "calib_cam_to_cam.txt"))
+    K, baseline = kitti.stereo_params(calib)
+    assert abs(K[0, 0] - 721.5377) < 1e-3
+    assert abs(K[0, 2] - 609.5593) < 1e-3
+    # standard KITTI baseline ~0.537 m
+    assert abs(baseline - (44.85728 + 339.5242) / 721.5377) < 1e-4
+    assert 0.4 < baseline < 0.6
+
+
+def test_kitti_indexing_and_stream(kitti_root):
+    records = kitti.index_drives(kitti_root)
+    assert len(records) == 3
+    cfg = DataConfig(dataset="kitti", root=kitti_root, height=32, width=96,
+                     batch_size=2, augment=False)
+    it = make_dataset(cfg, seed=0, repeat=False)
+    batch = next(it)
+    assert batch.src_image.shape == (2, 32, 96, 3)
+    K = np.asarray(batch.intrinsics)[0]
+    # fake images are 192x64, resized to 96x32 => K scales by 0.5
+    assert abs(K[0, 0] - 721.5377 * 0.5) < 1e-2
+    assert abs(K[1, 1] - 721.5377 * 0.5) < 1e-2
+    assert abs(K[0, 2] - (609.5593 * 0.5 - 0.25)) < 1e-2
+    pose = np.asarray(batch.pose_src2trg)[0]
+    assert pose[0, 3] < -0.4  # -baseline
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3))
+
+
+def test_kitti_augment_swaps_and_jitters(kitti_root):
+    cfg = DataConfig(dataset="kitti", root=kitti_root, height=32, width=96,
+                     batch_size=6, augment=True)
+    it = make_dataset(cfg, seed=3, repeat=True)
+    batch = next(it)
+    poses = np.asarray(batch.pose_src2trg)[:, 0, 3]
+    assert (poses > 0).any() and (poses < 0).any()  # both directions seen
+
+
+@pytest.fixture
+def synthia_root(tmp_path):
+    root = tmp_path / "synthia"
+    seq = root / "SYNTHIA-SEQS-01-SUMMER"
+    for cam in ("Stereo_Left", "Stereo_Right"):
+        for i in range(2):
+            _png(str(seq / "RGB" / cam / "Omni_F" / f"{i:07d}.png"), 76, 128)
+    for i in range(2):
+        path = seq / "Depth" / "Stereo_Left" / "Omni_F" / f"{i:07d}.png"
+        os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+        depth_cm = np.full((76, 128), 500, np.uint16)  # 5 m
+        Image.fromarray(depth_cm).save(str(path))
+    return str(root)
+
+
+def test_synthia_stream_with_depth(synthia_root):
+    cfg = DataConfig(dataset="synthia", root=synthia_root, height=38,
+                     width=64, batch_size=2, augment=False)
+    it = make_dataset(cfg, seed=0, repeat=False)
+    batch = next(it)
+    assert batch.src_image.shape == (2, 38, 64, 3)
+    disp = np.asarray(batch.gt_disparity)
+    valid = np.asarray(batch.gt_valid)
+    assert valid.min() == 1.0
+    np.testing.assert_allclose(disp, 1.0 / 5.0, rtol=1e-5)
+    pose = np.asarray(batch.pose_src2trg)[0]
+    assert abs(pose[0, 3] + synthia.BASELINE_M) < 1e-6
+
+
+def test_missing_roots_raise():
+    cfg = DataConfig(dataset="kitti", root="/nonexistent", height=8,
+                     width=8, batch_size=1)
+    with pytest.raises(Exception):
+        next(iter(kitti.example_stream(cfg, 0, False)))
