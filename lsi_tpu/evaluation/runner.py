@@ -1,0 +1,123 @@
+"""Evaluation runner: view-synthesis + depth metrics over a dataset split.
+
+Capability parity with the reference's eval scripts (SURVEY.md §3.4):
+restore a checkpoint, loop held-out pairs, predict LDI -> render to the
+paired view -> PSNR/SSIM vs ground truth (masked to rendered coverage),
+plus layer-0 depth metrics where GT depth exists (SYNTHIA / synthetic),
+aggregate, and optionally export image grids
+(src | trg | render | disparity) as PNGs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsi_tpu.config import Config
+from lsi_tpu.data.pipeline import make_dataset
+from lsi_tpu.evaluation.metrics import depth_metrics, psnr, ssim
+from lsi_tpu.geometry.ldi import render_forward
+from lsi_tpu.models.ldi_predictor import LDIPredictor
+
+
+def build_eval_step(cfg: Config):
+    model = LDIPredictor(cfg.model)
+
+    @jax.jit
+    def eval_step(params, batch):
+        ldi = model.apply({"params": params}, batch.src_image,
+                          batch.intrinsics)
+        out = render_forward(
+            ldi, batch.pose_src2trg,
+            out_hw=batch.trg_image.shape[1:3],
+            zbuffer_scale=cfg.render.zbuffer_scale,
+            splat_method=cfg.render.splat_method,
+            use_pallas=cfg.render.use_pallas)
+        covered = (out["coverage"] > 0).astype(jnp.float32)
+        metrics = {
+            "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),
+            "psnr_full": psnr(out["rgb"], batch.trg_image),
+            "ssim": ssim(out["rgb"] * covered, batch.trg_image * covered),
+            "coverage": jnp.mean(covered),
+        }
+        if batch.gt_disparity is not None and batch.gt_valid is not None:
+            metrics.update(depth_metrics(
+                ldi.disparities[:, 0], batch.gt_disparity, batch.gt_valid))
+        return metrics, out["rgb"], ldi
+
+    return eval_step
+
+
+def evaluate(cfg: Config, params, num_batches: int = 16,
+             image_dir: Optional[str] = None,
+             seed: int = 1234) -> Dict[str, float]:
+    """Run evaluation; returns averaged metrics."""
+    eval_step = build_eval_step(cfg)
+    it = make_dataset(cfg.data, seed=seed, repeat=True)
+    sums: Dict[str, float] = {}
+    for i in range(num_batches):
+        batch = next(it)
+        metrics, rendered, ldi = eval_step(params, batch)
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        if image_dir is not None and i == 0:
+            export_image_grid(batch, rendered, ldi, image_dir)
+    return {k: v / num_batches for k, v in sums.items()}
+
+
+def export_image_grid(batch, rendered, ldi, out_dir: str,
+                      max_rows: int = 4) -> None:
+    """PNG grid: src | trg | render | layer-0 disparity (viridis-free gray)."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = np.asarray(batch.src_image)
+    trg = np.asarray(batch.trg_image)
+    ren = np.clip(np.asarray(rendered), 0, 1)
+    disp = np.asarray(ldi.disparities[:, 0, ..., 0])
+    disp = disp / max(disp.max(), 1e-6)
+    rows = []
+    for i in range(min(max_rows, src.shape[0])):
+        row = np.concatenate(
+            [src[i], trg[i], ren[i],
+             np.repeat(disp[i][..., None], 3, axis=-1)], axis=1)
+        rows.append(row)
+    grid = (np.concatenate(rows, axis=0) * 255).astype(np.uint8)
+    Image.fromarray(grid).save(os.path.join(out_dir, "eval_grid.png"))
+
+
+def main(argv=None):
+    import argparse
+
+    from lsi_tpu.config import PRESETS, get_config
+    from lsi_tpu.train.__main__ import apply_override
+    from lsi_tpu.train.checkpoint import CheckpointManager
+    from lsi_tpu.train.trainer import create_state
+
+    ap = argparse.ArgumentParser(prog="python -m lsi_tpu.evaluation.runner")
+    ap.add_argument("--config", default="kitti_ldi2",
+                    help=f"preset: {sorted(PRESETS)}")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE")
+    ap.add_argument("--num_batches", type=int, default=16)
+    ap.add_argument("--image_dir", default="")
+    args = ap.parse_args(argv)
+    cfg = get_config(args.config)
+    for ov in args.set:
+        cfg = apply_override(cfg, ov)
+
+    state = create_state(cfg, jax.random.key(0))
+    mgr = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.max_to_keep)
+    state = mgr.restore(jax.device_get(state))
+    print(f"evaluating checkpoint step {int(state.step)}")
+    results = evaluate(cfg, state.params, args.num_batches,
+                       args.image_dir or None)
+    for k, v in sorted(results.items()):
+        print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

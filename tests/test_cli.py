@@ -1,0 +1,56 @@
+"""Config preset / CLI override / eval runner tests."""
+
+import numpy as np
+import jax
+
+from lsi_tpu.config import get_config, PRESETS
+from lsi_tpu.train.__main__ import apply_override, parse_args
+
+
+def test_presets_exist():
+    assert set(PRESETS) == {"kitti_ldi2", "synthia_ldi2_splat",
+                            "kitti_ldi3_b16", "highres_b64",
+                            "trajectory_sweep"}
+    cfg = get_config("kitti_ldi3_b16")
+    assert cfg.model.num_layers == 3
+    assert cfg.data.batch_size == 16
+    assert not cfg.model.layer0_texture_from_input
+    assert get_config("highres_b64").train.remat_decoder
+
+
+def test_overrides():
+    cfg = get_config("kitti_ldi2")
+    cfg = apply_override(cfg, "train.max_steps=42")
+    cfg = apply_override(cfg, "model.num_layers=3")
+    cfg = apply_override(cfg, "data.root=/some/path")
+    cfg = apply_override(cfg, "loss.min_over_layers=false")
+    assert cfg.train.max_steps == 42
+    assert cfg.model.num_layers == 3
+    assert cfg.data.root == "/some/path"
+    assert cfg.loss.min_over_layers is False
+
+
+def test_parse_args():
+    cfg = parse_args(["--config", "trajectory_sweep",
+                      "--set", "train.seed=7", "data.batch_size=2"])
+    assert cfg.train.seed == 7
+    assert cfg.data.batch_size == 2
+
+
+def test_eval_runner_on_synthetic(tmp_path):
+    from lsi_tpu.config import (Config, DataConfig, ModelConfig)
+    from lsi_tpu.evaluation.runner import evaluate
+    from lsi_tpu.train.trainer import create_state
+
+    cfg = Config(
+        model=ModelConfig(num_layers=2, base_filters=8, num_scales=3,
+                          compute_dtype="float32"),
+        data=DataConfig(dataset="synthetic", height=32, width=64,
+                        batch_size=2, prefetch=1))
+    state = create_state(cfg, jax.random.key(0))
+    results = evaluate(cfg, state.params, num_batches=2,
+                       image_dir=str(tmp_path))
+    assert {"psnr", "psnr_full", "ssim", "coverage",
+            "abs_rel"} <= set(results)
+    assert np.isfinite(results["psnr"])
+    assert (tmp_path / "eval_grid.png").exists()
