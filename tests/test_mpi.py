@@ -1,0 +1,108 @@
+"""MPI (layered-planes baseline) model + renderer tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lsi_tpu.geometry import transforms
+from lsi_tpu.models.mpi import MPI, MPIPredictor, plane_depths, render_mpi
+
+
+def make_K(fx=50.0, cx=15.5, cy=11.5):
+    return np.array([[fx, 0, cx], [0, fx, cy], [0, 0, 1]], np.float32)
+
+
+def test_plane_depths_disparity_uniform():
+    d = np.asarray(plane_depths(5, 2.0, 50.0))
+    disp = 1.0 / d
+    np.testing.assert_allclose(np.diff(disp), np.diff(disp)[0], rtol=1e-5)
+    assert d[0] == 2.0 and abs(d[-1] - 50.0) < 1e-4
+    assert (np.diff(d) > 0).all()
+
+
+def test_mpi_predictor_shapes(rng):
+    model = MPIPredictor(num_planes=4, base_filters=8, num_scales=2,
+                         compute_dtype="float32")
+    img = jnp.asarray(rng.uniform(size=(2, 16, 32, 3)), jnp.float32)
+    K = jnp.asarray(np.tile(make_K()[None], (2, 1, 1)))
+    mpi = model.apply(model.init(jax.random.key(0), img, K), img, K)
+    assert mpi.colors.shape == (2, 4, 16, 32, 3)
+    assert mpi.alphas.shape == (2, 4, 16, 32, 1)
+    assert mpi.depths.shape == (4,)
+    a = np.asarray(mpi.alphas)
+    c = np.asarray(mpi.colors)
+    assert (a >= 0).all() and (a <= 1).all()
+    assert (c >= 0).all() and (c <= 1).all()
+
+
+def test_render_identity_opaque_front(rng):
+    """Fully-opaque nearest plane at identity pose returns its own color."""
+    b, d, h, w = 1, 3, 12, 16
+    colors = jnp.asarray(rng.uniform(size=(b, d, h, w, 3)), jnp.float32)
+    alphas = jnp.zeros((b, d, h, w, 1), jnp.float32).at[:, 0].set(1.0)
+    mpi = MPI(colors=colors, alphas=alphas, depths=plane_depths(d, 2, 20),
+              intrinsics=jnp.asarray(make_K(cx=7.5, cy=5.5)[None]))
+    out = render_mpi(mpi, transforms.identity_pose((1,)))
+    np.testing.assert_allclose(np.asarray(out["rgb"]),
+                               np.asarray(colors[:, 0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["disparity"]),
+                               1.0 / float(mpi.depths[0]), rtol=1e-4)
+
+
+def test_over_composite_semantics():
+    """Half-transparent front over opaque back blends 50/50."""
+    b, h, w = 1, 4, 4
+    colors = jnp.stack([jnp.ones((b, h, w, 3)),
+                        jnp.zeros((b, h, w, 3))], axis=1).astype(jnp.float32)
+    alphas = jnp.stack([jnp.full((b, h, w, 1), 0.5),
+                        jnp.ones((b, h, w, 1))], axis=1).astype(jnp.float32)
+    mpi = MPI(colors=colors, alphas=alphas, depths=plane_depths(2, 2, 10),
+              intrinsics=jnp.asarray(make_K(cx=1.5, cy=1.5)[None]))
+    out = render_mpi(mpi, transforms.identity_pose((1,)))
+    np.testing.assert_allclose(np.asarray(out["rgb"]), 0.5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["alpha"]), 1.0, atol=1e-5)
+
+
+def test_translated_view_parallax(rng):
+    """Near plane content shifts more than far plane content."""
+    b, h, w = 1, 16, 32
+    # near plane: stripe at x=20; far plane: stripe at x=8
+    near = np.zeros((h, w, 3), np.float32)
+    near[:, 20] = 1.0
+    far = np.zeros((h, w, 3), np.float32)
+    far[:, 8] = 1.0
+    colors = jnp.asarray(np.stack([near, far])[None])
+    a_near = np.zeros((h, w, 1), np.float32)
+    a_near[:, 20] = 1.0
+    a_far = np.ones((h, w, 1), np.float32)
+    alphas = jnp.asarray(np.stack([a_near, a_far])[None])
+    depths = jnp.asarray([2.0, 20.0], jnp.float32)
+    K = make_K(fx=40.0)
+    mpi = MPI(colors=colors, alphas=alphas, depths=depths,
+              intrinsics=jnp.asarray(K[None]))
+    tx = -0.5
+    pose = transforms.translation_pose(np.array([[tx, 0, 0]], np.float32))
+    out = np.asarray(render_mpi(mpi, pose)["rgb"])
+    row = out[0, 8, :, 0]
+    near_shift = 40.0 * 0.5 / 2.0   # 10 px
+    far_shift = 40.0 * 0.5 / 20.0   # 1 px
+    assert row[20 - int(near_shift)] > 0.5
+    assert row[8 - int(round(far_shift))] > 0.3
+
+
+def test_render_differentiable(rng):
+    b, d, h, w = 1, 3, 8, 8
+    colors = jnp.asarray(rng.uniform(size=(b, d, h, w, 3)), jnp.float32)
+    alphas = jnp.asarray(rng.uniform(0.2, 0.8, (b, d, h, w, 1)), jnp.float32)
+    mpi_K = jnp.asarray(make_K(cx=3.5, cy=3.5)[None])
+    pose = transforms.translation_pose(np.array([[0.1, 0, 0]], np.float32))
+
+    def loss(alphas):
+        m = MPI(colors=colors, alphas=alphas, depths=plane_depths(d, 2, 20),
+                intrinsics=mpi_K)
+        return jnp.sum(render_mpi(m, pose)["rgb"] ** 2)
+
+    g = jax.grad(loss)(alphas)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0
