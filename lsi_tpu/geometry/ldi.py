@@ -133,8 +133,8 @@ def render_forward(ldi: LDI,
     payload = jnp.concatenate(
         [ldi.textures.astype(jnp.float32), trg_disp], axis=-1)  # (B,L,H,W,4)
     if use_pallas:
-        from lsi_tpu.kernels.splat_pallas import splat_pallas
-        accum, wsum = splat_pallas(
+        from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
+        accum, wsum = splat_pallas_diff(
             _fold_layers_into_height(payload),
             _fold_layers_into_height(trg_coords),
             _fold_layers_into_height(weights),

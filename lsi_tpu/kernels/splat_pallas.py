@@ -1,0 +1,317 @@
+"""Pallas TPU kernel: deterministic bilinear forward splat.
+
+Why this kernel exists: the reference delegates its splat to
+``tf.scatter_nd`` (CUDA atomics); the XLA TPU scatter this maps to executes
+serialized at ~16M updates/s on v5e — 762 ms for a batch-8 two-layer
+256x768 render (measured; see scripts/bench_layout.py). This kernel
+re-expresses the scatter as **per-row one-hot matmuls on the MXU**: for each
+source row, a (Ws x Wpad) matrix A holds each pixel's two bilinear column
+weights at its target columns; ``A^T @ payload`` then *is* the column
+scatter, executed as a dense matmul at MXU rate. The (small) vertical
+displacement window is handled by a static dy loop whose row weights
+multiply into the payload. Accumulation order is fixed (grid is sequential
+on TPU), so renders are bitwise deterministic.
+
+Semantics match ops/splat.splat_bilinear (the lax oracle) EXCEPT that
+contributions with vertical displacement outside [-max_dy, max_dy + 1]
+rows of the source row are dropped — the dy window is a static kernel
+parameter sized from scene bounds (rectified stereo needs ~1; rotations
+need ~fy*theta). Horizontal displacement is NOT windowed: the one-hot
+spans the full padded output width, so any in-image target column is
+exact; ``max_dx`` only sets how much out-of-image margin is tracked
+before being sliced off (its cost is matmul width, ~(Wo + 2 max_dx)).
+
+Layout notes (pallas_guide.md): all tensors are (sublane, lane)-tiled
+f32; the one-hot build is two broadcasted-iota compares (VPU) and the
+scatter-matmul contracts over the source-column axis (MXU,
+``preferred_element_type=f32``); the output block index_map is constant
+over the row-block grid axis so the padded accumulator stays resident in
+VMEM across all grid steps of an image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lsi_tpu.ops.splat import snap_fraction
+
+# max_dx: out-of-image margin (padding) only — see module docstring; 128
+# keeps the matmul width at Wo + 258. max_dy: the true vertical window.
+DEFAULT_MAX_DX = 128
+DEFAULT_MAX_DY = 4
+
+
+def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
+                  block_rows: int, ho: int, max_dy: int, pad_x: int,
+                  pad_y: int, tile_w: int):
+    """One grid step: splat `block_rows` source rows into this column
+    tile's resident padded accumulator.
+
+    Channel-minor layouts everywhere: the last (lane) axis is a wide
+    spatial axis, never the 5-channel axis, so Mosaic does not pad
+    channels to 128 lanes.
+
+    payload_ref: (block_rows, C1, Ws) f32 — [v*w, w] per source pixel.
+    tcol_ref:    (block_rows, Ws) f32 — integer-valued target column in
+                 padded space (floor(x) + pad_x; exact float add).
+    fx_ref:      (block_rows, Ws) f32 — horizontal fraction (pre-snapped).
+    ky_ref:      (block_rows, Ws) f32 — floor(y) - base_row (vertical int
+                 displacement, as float for VPU compare).
+    fy_ref:      (block_rows, Ws) f32 — vertical fraction (pre-snapped).
+    out_ref:     (ho + 2*pad_y, C1, tile_w) f32 — this tile's accumulator.
+    """
+    t = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ws = payload_ref.shape[2]
+    # Base target row of this source block within the (un-padded) image.
+    r_base = (j * block_rows) % ho
+    col0 = t * tile_w  # first padded-space column owned by this tile
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ws, tile_w), 1)
+
+    for s in range(block_rows):  # static unroll
+        payload = payload_ref[s]          # (C1, Ws)
+        x0 = tcol_ref[s]                  # (Ws,) integer-valued padded col
+        fx = fx_ref[s]                    # (Ws,)
+        ky = ky_ref[s]                    # (Ws,)
+        fy = fy_ref[s]                    # (Ws,)
+
+        # One-hot column matrix restricted to this tile's column range,
+        # both horizontal corners folded in:
+        # A[i, c] = (1-fx_i) [col0+c == x0_i] + fx_i [col0+c == x0_i + 1].
+        x0r = x0.astype(jnp.int32) - col0
+        m0 = (col_iota == x0r[:, None]).astype(jnp.float32)
+        m1 = (col_iota == (x0r[:, None] + 1)).astype(jnp.float32)
+        a = (1.0 - fx)[:, None] * m0 + fx[:, None] * m1   # (Ws, tile_w)
+
+        for dy in range(-max_dy, max_dy + 2):  # static unroll
+            rw = ((1.0 - fy) * (ky == dy) + fy * (ky == (dy - 1)))
+            b = payload * rw[None, :]               # (C1, Ws)
+            contrib = jax.lax.dot_general(
+                b, a, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (C1, tile_w)
+            row0 = r_base + s + dy + pad_y
+            cur = out_ref[pl.ds(row0, 1), :, :]
+            out_ref[pl.ds(row0, 1), :, :] = cur + contrib[None]
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "max_dx", "max_dy",
+                                             "block_rows"))
+def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
+                 weights: jnp.ndarray, out_hw,
+                 max_dx: int = DEFAULT_MAX_DX,
+                 max_dy: int = DEFAULT_MAX_DY,
+                 block_rows: int = 8):
+    """Drop-in replacement for ops.splat.splat_bilinear (scatter method).
+
+    Args:
+      values:  (N, Hs, Ws, C) f32 source values; Hs may be L*out_h (layers
+        folded into the row axis — rows map to target row ``row % out_h``).
+      coords:  (N, Hs, Ws, 2) f32 target pixel [x, y] per source pixel.
+      weights: (N, Hs, Ws, 1) f32 per-pixel weights.
+      out_hw:  (out_h, out_w).
+      max_dx / max_dy: static displacement window (see module docstring).
+      block_rows: source rows per grid step.
+    Returns:
+      accum (N, out_h, out_w, C) f32, wsum (N, out_h, out_w, 1) f32.
+    """
+    out_h, out_w = out_hw
+    n, hs, ws, c = values.shape
+    if hs % block_rows or out_h % block_rows:
+        raise ValueError(f"rows {hs}/{out_h} not divisible by {block_rows}")
+    c1 = c + 1
+    pad_y = max_dy + 1
+    h2 = out_h + 2 * pad_y
+
+    # Column tiling: pick a tile width and round the padded width up to a
+    # multiple of it (extra columns fall in the dead margin).
+    tile_w = 256 if out_w >= 256 else 128
+    pad_x = max_dx + 1
+    wpad = out_w + 2 * pad_x
+    wpad = ((wpad + tile_w - 1) // tile_w) * tile_w
+    num_tiles = wpad // tile_w
+
+    w32 = weights.astype(jnp.float32)
+    payload = jnp.concatenate(
+        [values.astype(jnp.float32) * w32, w32], axis=-1)
+    payload = jnp.moveaxis(payload, -1, -2)  # (N, Hs, C1, Ws) channel-minor
+
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    # Integer target column in padded space (exact float add); fraction
+    # computed pre-padding so padding cannot perturb it. Far-out values are
+    # clamped into the dead zone (the one-hot never matches them).
+    x0 = jnp.floor(x)
+    fx = snap_fraction(x - x0)
+    xp = jnp.clip(x0, -2.0 * wpad, 2.0 * wpad) + pad_x
+    base_row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
+    y0 = jnp.floor(y)
+    ky = jnp.clip(y0 - base_row, -(max_dy + 2.0), max_dy + 2.0)
+    fy = snap_fraction(y - y0)
+
+    grid = (n, num_tiles, hs // block_rows)
+    kernel = functools.partial(
+        _splat_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
+        pad_x=pad_x, pad_y=pad_y, tile_w=tile_w)
+
+    row_spec = pl.BlockSpec((None, block_rows, ws),
+                            lambda i, t, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_rows, c1, ws),
+                         lambda i, t, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+            row_spec,
+            row_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, h2, c1, tile_w), lambda i, t, j: (i, t, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, num_tiles, h2, c1, tile_w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(payload, xp, fx, ky, fy)
+
+    # (N, CT, H2, C1, TW) -> (N, H2, C1, Wpad) -> interior (N, Ho, Wo, C1).
+    out = out.transpose(0, 2, 3, 1, 4).reshape(n, h2, c1, wpad)
+    interior = out[:, pad_y:pad_y + out_h, :, pad_x:pad_x + out_w]
+    interior = jnp.moveaxis(interior, 2, 3)
+    return interior[..., :c], interior[..., c:]
+
+
+def _gather_corner(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
+                   mask: jnp.ndarray) -> jnp.ndarray:
+    """img (N, Ho, Wo, C) gathered at integer (N, Hs, Ws) coords; 0 where
+    out-of-bounds or masked."""
+    n, ho, wo, c = img.shape
+    inb = (xi >= 0) & (xi <= wo - 1) & (yi >= 0) & (yi <= ho - 1) & mask
+    xc = jnp.clip(xi, 0, wo - 1)
+    yc = jnp.clip(yi, 0, ho - 1)
+    lin = (yc * wo + xc).reshape(n, -1)
+    g = jnp.take_along_axis(img.reshape(n, ho * wo, c), lin[..., None],
+                            axis=1)
+    g = g.reshape(xi.shape + (c,))
+    return g * inb[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def splat_pallas_diff(values, coords, weights, out_hw,
+                      max_dx: int = DEFAULT_MAX_DX,
+                      max_dy: int = DEFAULT_MAX_DY,
+                      block_rows: int = 8):
+    """Differentiable wrapper: Pallas forward, gather-only backward.
+
+    The VJP of a scatter-add needs only *gathers* of the cotangent at the
+    forward coordinates (the main depth-gradient path flows through the
+    bilinear fractions) — so the backward pass never touches the slow XLA
+    scatter either. Gradients are masked to the kernel's vertical window
+    so they exactly correspond to the forward semantics.
+    """
+    return splat_pallas(values, coords, weights, out_hw, max_dx=max_dx,
+                        max_dy=max_dy, block_rows=block_rows)
+
+
+def _fwd(values, coords, weights, out_hw, max_dx, max_dy, block_rows):
+    out = splat_pallas(values, coords, weights, out_hw, max_dx=max_dx,
+                       max_dy=max_dy, block_rows=block_rows)
+    return out, (values, coords, weights)
+
+
+def _bwd(out_hw, max_dx, max_dy, block_rows, res, cot):
+    values, coords, weights = res
+    ga, gw = cot  # (N, Ho, Wo, C), (N, Ho, Wo, 1)
+    out_h, _ = out_hw
+    n, hs, ws, c = values.shape
+
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx_raw = x - x0
+    fy_raw = y - y0
+    fx = snap_fraction(fx_raw)
+    fy = snap_fraction(fy_raw)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # Vertical-window masks matching the kernel's dy loop, per corner row.
+    base_row = (jnp.arange(hs) % out_h)[None, :, None]
+    ky = y0i - base_row
+    m_row0 = (ky >= -max_dy) & (ky <= max_dy + 1)
+    m_row1 = (ky + 1 >= -max_dy) & (ky + 1 <= max_dy + 1)
+
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w01 = fx * (1.0 - fy)
+    w10 = (1.0 - fx) * fy
+    w11 = fx * fy
+
+    def corners(img):
+        g00 = _gather_corner(img, x0i, y0i, m_row0)
+        g01 = _gather_corner(img, x0i + 1, y0i, m_row0)
+        g10 = _gather_corner(img, x0i, y0i + 1, m_row1)
+        g11 = _gather_corner(img, x0i + 1, y0i + 1, m_row1)
+        return g00, g01, g10, g11
+
+    a00, a01, a10, a11 = corners(ga.astype(jnp.float32))
+    s00, s01, s10, s11 = corners(gw.astype(jnp.float32))
+
+    sa = (w00[..., None] * a00 + w01[..., None] * a01
+          + w10[..., None] * a10 + w11[..., None] * a11)  # (N,Hs,Ws,C)
+    sw = (w00[..., None] * s00 + w01[..., None] * s01
+          + w10[..., None] * s10 + w11[..., None] * s11)  # (N,Hs,Ws,1)
+
+    v32 = values.astype(jnp.float32)
+    w32 = weights.astype(jnp.float32)
+
+    d_values = w32 * sa
+    d_weights = jnp.sum(v32 * sa, axis=-1, keepdims=True) + sw
+
+    # coords gradient through the bilinear fractions; zero in snap zones
+    # (matches the lax path's where-gradient) and for dropped corners.
+    q00 = jnp.sum(v32 * a00, -1) + s00[..., 0]
+    q01 = jnp.sum(v32 * a01, -1) + s01[..., 0]
+    q10 = jnp.sum(v32 * a10, -1) + s10[..., 0]
+    q11 = jnp.sum(v32 * a11, -1) + s11[..., 0]
+    live_x = (fx_raw >= 1e-4) & (fx_raw <= 1.0 - 1e-4)
+    live_y = (fy_raw >= 1e-4) & (fy_raw <= 1.0 - 1e-4)
+    gx = w32[..., 0] * ((1.0 - fy) * (q01 - q00) + fy * (q11 - q10)) * live_x
+    gy = w32[..., 0] * ((1.0 - fx) * (q10 - q00) + fx * (q11 - q01)) * live_y
+    d_coords = jnp.stack([gx, gy], axis=-1)
+
+    return (d_values.astype(values.dtype), d_coords.astype(coords.dtype),
+            d_weights.astype(weights.dtype))
+
+
+splat_pallas_diff.defvjp(_fwd, _bwd)
+
+
+def required_window(coords: jnp.ndarray, out_h: int):
+    """Diagnostic: the (max_dx, max_dy) this data actually needs.
+
+    Not jit-safe (returns concrete values); use in tests / sizing scripts.
+    """
+    n, hs, ws, _ = coords.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    col = jnp.arange(ws, dtype=jnp.float32)[None, None, :]
+    row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
+    dx = jnp.max(jnp.abs(jnp.floor(x) - col))
+    dy = jnp.max(jnp.abs(jnp.floor(y) - row))
+    return int(dx) + 1, int(dy) + 1

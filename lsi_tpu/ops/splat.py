@@ -28,8 +28,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Corner fractions below this are clamped to zero (see _corner_terms).
+# Bilinear fractions within MIN_FRACTION of an integer are snapped to it
+# (see snap_fraction).
 MIN_FRACTION = 1e-4
+
+
+def snap_fraction(f: jnp.ndarray) -> jnp.ndarray:
+    """Snap bilinear fractions within MIN_FRACTION of 0/1 to exactly 0/1.
+
+    Op semantic (docs/parity.md): f32 rounding of near-integer projected
+    coordinates yields ~1e-5 phantom fractions that soft z-buffer
+    exp-weights can amplify above a neighboring pixel's own (much smaller)
+    z-weight, bleeding color across depth edges. Snapping the *fraction*
+    per axis (rather than clamping per-corner products) keeps the lax,
+    numpy-oracle and Pallas implementations bit-identical in semantics.
+    """
+    f = jnp.where(f < MIN_FRACTION, 0.0, f)
+    return jnp.where(f > 1.0 - MIN_FRACTION, 1.0, f)
 
 
 def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
@@ -45,8 +60,8 @@ def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
+    fx = snap_fraction(x - x0)
+    fy = snap_fraction(y - y0)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -65,13 +80,7 @@ def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
         inb = (xi >= 0) & (xi <= out_w - 1) & (yi >= 0) & (yi <= out_h - 1)
         lin = batch_off + yi * out_w + xi
         idxs.append(jnp.where(inb, lin, -1))
-        w = wgt * inb
-        # Clamp negligible corner fractions to exactly 0 (op semantic, see
-        # docs/parity.md): f32 rounding of near-integer projected coords
-        # yields up-to-~1e-5 fractions that soft z-buffer exp-weights can amplify
-        # above a neighboring pixel's own (much smaller) z-weight, bleeding
-        # color across depth edges. True fractions this small carry no mass.
-        wts.append(jnp.where(w >= MIN_FRACTION, w, 0.0))
+        wts.append(wgt * inb)
     return jnp.stack(idxs), jnp.stack(wts)
 
 

@@ -79,18 +79,26 @@ def splat_np(values, coords, weights, out_hw):
     oh, ow = out_hw
     accum = np.zeros((oh, ow, c), np.float64)
     wsum = np.zeros((oh, ow), np.float64)
+
+    def snap(f):
+        # Same per-axis fraction snap as ops/splat.snap_fraction.
+        if f < 1e-4:
+            return 0.0
+        if f > 1.0 - 1e-4:
+            return 1.0
+        return f
+
     for y in range(h):
         for x in range(w):
             xt, yt = coords[y, x]
             x0, y0 = int(np.floor(xt)), int(np.floor(yt))
-            fx, fy = xt - x0, yt - y0
+            fx, fy = snap(np.float32(xt) - x0), snap(np.float32(yt) - y0)
             for dy, dx, frac in ((0, 0, (1 - fx) * (1 - fy)),
                                  (0, 1, fx * (1 - fy)),
                                  (1, 0, (1 - fx) * fy),
                                  (1, 1, fx * fy)):
                 yy, xx = y0 + dy, x0 + dx
-                # Same MIN_FRACTION clamp as ops/splat.py (op semantic).
-                if 0 <= yy < oh and 0 <= xx < ow and frac >= 1e-4:
+                if 0 <= yy < oh and 0 <= xx < ow and frac > 0:
                     wgt = frac * weights[y, x]
                     accum[yy, xx] += wgt * values[y, x]
                     wsum[yy, xx] += wgt

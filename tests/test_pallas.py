@@ -1,0 +1,196 @@
+"""Pallas splat kernel vs the lax oracle (interpret mode on CPU).
+
+On a real TPU the same tests run compiled (LSI_TPU_TEST_TPU=1).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsi_tpu.ops.splat import splat_bilinear
+
+INTERPRET = not os.environ.get("LSI_TPU_TEST_TPU")
+
+
+def call_pallas(vals, coords, wts, out_hw, **kw):
+    from lsi_tpu.kernels import splat_pallas  # the function (re-exported)
+    if INTERPRET:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            return splat_pallas(vals, coords, wts, out_hw, **kw)
+    return splat_pallas(vals, coords, wts, out_hw, **kw)
+
+
+def make_case(rng, n=1, layers=1, h=16, w=128, max_shift=8, jitter_y=1.0):
+    hs = layers * h
+    vals = jnp.asarray(rng.uniform(size=(n, hs, w, 3)), jnp.float32)
+    base_x = np.broadcast_to(np.arange(w, dtype=np.float32), (n, hs, w))
+    base_y = np.broadcast_to(
+        (np.arange(hs, dtype=np.float32)[:, None] % h), (n, hs, w))
+    dx = rng.uniform(-max_shift, max_shift, (n, hs, w)).astype(np.float32)
+    dy = rng.uniform(-jitter_y, jitter_y, (n, hs, w)).astype(np.float32)
+    coords = jnp.asarray(np.stack([base_x + dx, base_y + dy], -1))
+    wts = jnp.asarray(rng.uniform(0.1, 1.0, (n, hs, w, 1)), jnp.float32)
+    return vals, coords, wts, (h, w)
+
+
+def test_matches_lax_single_layer(rng):
+    vals, coords, wts, out_hw = make_case(rng)
+    a_p, w_p = call_pallas(vals, coords, wts, out_hw, max_dx=16, max_dy=4)
+    a_l, w_l = splat_bilinear(vals, coords, wts, out_hw)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_l),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_matches_lax_layers_folded(rng):
+    vals, coords, wts, out_hw = make_case(rng, n=2, layers=2)
+    a_p, w_p = call_pallas(vals, coords, wts, out_hw, max_dx=16, max_dy=4)
+    a_l, w_l = splat_bilinear(vals, coords, wts, out_hw)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exact_integer_coords(rng):
+    """Identity-style coords: every pixel lands exactly on itself."""
+    n, h, w = 1, 8, 128
+    vals = jnp.asarray(rng.uniform(size=(n, h, w, 2)), jnp.float32)
+    base_x = np.broadcast_to(np.arange(w, dtype=np.float32), (n, h, w))
+    base_y = np.broadcast_to(
+        np.arange(h, dtype=np.float32)[:, None], (n, h, w))
+    coords = jnp.asarray(np.stack([base_x, base_y], -1))
+    wts = jnp.ones((n, h, w, 1), jnp.float32)
+    a_p, w_p = call_pallas(vals, coords, wts, (h, w), max_dx=4, max_dy=2)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(vals),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w_p), 1.0, atol=1e-6)
+
+
+def test_out_of_image_dropped(rng):
+    n, h, w = 1, 8, 128
+    vals = jnp.ones((n, h, w, 1), jnp.float32)
+    coords = jnp.asarray(
+        np.stack([np.full((n, h, w), -3.0, np.float32),
+                  np.broadcast_to(np.arange(h, dtype=np.float32)[:, None],
+                                  (n, h, w))], -1))
+    wts = jnp.ones((n, h, w, 1), jnp.float32)
+    a_p, w_p = call_pallas(vals, coords, wts, (h, w), max_dx=8, max_dy=2)
+    np.testing.assert_allclose(np.asarray(a_p), 0.0)
+    np.testing.assert_allclose(np.asarray(w_p), 0.0)
+
+
+def test_horizontal_shift_any_magnitude_exact(rng):
+    """Horizontal displacement is NOT windowed: a 20.5-px shift with a
+    small max_dx pad still matches the lax path exactly (in-image targets
+    are always representable; max_dx only pads out-of-image bookkeeping)."""
+    n, h, w = 1, 8, 128
+    vals = jnp.ones((n, h, w, 1), jnp.float32)
+    base_x = np.broadcast_to(np.arange(w, dtype=np.float32), (n, h, w))
+    base_y = np.broadcast_to(
+        np.arange(h, dtype=np.float32)[:, None], (n, h, w))
+    coords = jnp.asarray(np.stack([base_x + 20.5, base_y], -1))
+    wts = jnp.ones((n, h, w, 1), jnp.float32)
+    for dxp in (8, 32):
+        _, w_p = call_pallas(vals, coords, wts, (h, w), max_dx=dxp,
+                             max_dy=2)
+        _, w_lax = splat_bilinear(vals, coords, wts, (h, w))
+        np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_lax),
+                                   atol=1e-6)
+
+
+def test_vertical_window_drops_beyond(rng):
+    """|dy| beyond max_dy drops (the real window); lax keeps."""
+    n, h, w = 1, 16, 128
+    vals = jnp.ones((n, h, w, 1), jnp.float32)
+    base_x = np.broadcast_to(np.arange(w, dtype=np.float32), (n, h, w))
+    base_y = np.broadcast_to(
+        np.arange(h, dtype=np.float32)[:, None], (n, h, w))
+    coords = jnp.asarray(np.stack([base_x, base_y + 5.0], -1))
+    wts = jnp.ones((n, h, w, 1), jnp.float32)
+    _, w_small = call_pallas(vals, coords, wts, (h, w), max_dx=8, max_dy=2)
+    assert float(jnp.sum(w_small)) == 0.0  # dy=5 > window 2
+    _, w_big = call_pallas(vals, coords, wts, (h, w), max_dx=8, max_dy=6)
+    _, w_lax = splat_bilinear(vals, coords, wts, (h, w))
+    np.testing.assert_allclose(np.asarray(w_big), np.asarray(w_lax),
+                               atol=1e-6)
+
+
+def test_determinism(rng):
+    vals, coords, wts, out_hw = make_case(rng)
+    a1, w1 = call_pallas(vals, coords, wts, out_hw, max_dx=16, max_dy=4)
+    a2, w2 = call_pallas(vals, coords, wts, out_hw, max_dx=16, max_dy=4)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_required_window_helper(rng):
+    from lsi_tpu.kernels.splat_pallas import required_window
+    vals, coords, wts, out_hw = make_case(rng, max_shift=5, jitter_y=0.5)
+    dx, dy = required_window(coords, out_hw[0])
+    assert dx <= 7 and dy <= 2
+
+
+def test_vjp_matches_lax_grads(rng):
+    """Gradients of the pallas path vs autodiff through the lax path."""
+    from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
+    from jax.experimental.pallas import tpu as pltpu
+
+    vals, coords, wts, out_hw = make_case(rng, h=8, w=128, max_shift=4,
+                                          jitter_y=0.8)
+
+    def loss_pallas(v, c, w):
+        if INTERPRET:
+            with pltpu.force_tpu_interpret_mode():
+                a, s = splat_pallas_diff(v, c, w, out_hw, 8, 4, 8)
+        else:
+            a, s = splat_pallas_diff(v, c, w, out_hw, 8, 4, 8)
+        return jnp.sum(a ** 2) + jnp.sum(s ** 2)
+
+    def loss_lax(v, c, w):
+        a, s = splat_bilinear(v, c, w, out_hw)
+        return jnp.sum(a ** 2) + jnp.sum(s ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(vals, coords, wts)
+    gl = jax.grad(loss_lax, argnums=(0, 1, 2))(vals, coords, wts)
+    for a, b, name in zip(gp, gl, ("values", "coords", "weights")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_render_forward_use_pallas_matches(rng):
+    """render_forward(use_pallas=True) == lax path on a small LDI."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lsi_tpu.geometry.ldi import LDI, render_forward
+    from lsi_tpu.geometry import transforms
+
+    h, w = 16, 128
+    tex = jnp.asarray(rng.uniform(size=(1, 2, h, w, 3)), jnp.float32)
+    disp = jnp.asarray(
+        np.sort(rng.uniform(0.1, 0.5, (1, 2, h, w, 1)), axis=1)[:, ::-1]
+        .copy(), jnp.float32)
+    K = jnp.asarray(np.array(
+        [[40.0, 0, (w - 1) / 2], [0, 40.0, (h - 1) / 2], [0, 0, 1]],
+        np.float32)[None])
+    ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+    pose = transforms.translation_pose(np.array([[-0.2, 0, 0]], np.float32))
+
+    out_lax = render_forward(ldi, pose, zbuffer_scale=20.0)
+    if INTERPRET:
+        with pltpu.force_tpu_interpret_mode():
+            out_p = render_forward(ldi, pose, zbuffer_scale=20.0,
+                                   use_pallas=True)
+    else:
+        out_p = render_forward(ldi, pose, zbuffer_scale=20.0,
+                               use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out_p["rgb"]),
+                               np.asarray(out_lax["rgb"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p["coverage"]),
+                               np.asarray(out_lax["coverage"]),
+                               rtol=1e-4, atol=1e-5)
