@@ -98,7 +98,9 @@ def main():
     ap.add_argument("--no-cpu", action="store_true",
                     help="skip the CPU denominator (vs_baseline = 0)")
     ap.add_argument("--pallas", action="store_true",
-                    help="use the Pallas splat kernel on the accelerator")
+                    help="force the Pallas splat kernel")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the lax scatter splat")
     ap.add_argument("--all-configs", action="store_true",
                     help="also run the secondary BASELINE configs")
     args = ap.parse_args()
@@ -107,10 +109,14 @@ def main():
     accel = jax.devices()[0]
     on_accel = accel.platform != "cpu"
     iters = 5 if args.quick else 20
+    # The Pallas splat is the production path on TPU (the XLA scatter runs
+    # serialized at ~16M updates/s there); lax elsewhere.
+    use_pallas = (on_accel or args.pallas) and not args.no_pallas
 
-    log(f"accelerator: {accel} (platform={accel.platform})")
+    log(f"accelerator: {accel} (platform={accel.platform}) "
+        f"pallas={use_pallas}")
     fps_accel = measure(accel, h, w, layers, batch=8, iters=iters,
-                        use_pallas=args.pallas)
+                        use_pallas=use_pallas)
     log(f"accel predict+render @{h}x{w} L={layers}: {fps_accel:.2f} frames/s")
 
     vs_baseline = 0.0
@@ -131,7 +137,7 @@ def main():
 
         # config 3: 3-layer batched eval b16
         fps3 = measure(accel, h, w, 3, batch=16, iters=max(2, iters // 2),
-                       use_pallas=args.pallas)
+                       use_pallas=use_pallas)
         log(f"[cfg3] 3-layer b16: {fps3:.2f} frames/s")
         # config 5: trajectory sweep 60 views from one LDI
         rng = np.random.default_rng(0)
@@ -143,7 +149,7 @@ def main():
             [[0.95 * w, 0, (w - 1) / 2], [0, 0.95 * w, (h - 1) / 2],
              [0, 0, 1]], np.float32)[None])
         ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
-        rcfg = RenderConfig(use_pallas=args.pallas)
+        rcfg = RenderConfig(use_pallas=use_pallas)
         render_trajectory(ldi, 60, render_cfg=rcfg).block_until_ready()
         t0 = time.perf_counter()
         for _ in range(3):
@@ -153,7 +159,7 @@ def main():
 
     result = {
         "metric": ("frames/sec/chip, 2-layer LDI predict + splat render "
-                   f"@{h}x{w}" + (" (pallas)" if args.pallas else "")),
+                   f"@{h}x{w}" + (" (pallas)" if use_pallas else "")),
         "value": round(fps_accel, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs_baseline, 3),

@@ -27,7 +27,9 @@ class ModelConfig:
 class RenderConfig:
     zbuffer_scale: float = 50.0     # soft z-buffer sharpness (1/temperature).
     splat_method: str = "scatter"   # "scatter" | "sort" (lax paths).
-    use_pallas: bool = False        # fused Pallas TPU splat kernel.
+    use_pallas: bool = False        # MXU one-hot Pallas splat kernel.
+    pallas_max_dy: int = 4          # vertical splat window (rows); raise for
+                                    # trajectory sweeps with rotation.
 
 
 @dataclasses.dataclass(frozen=True)

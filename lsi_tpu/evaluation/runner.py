@@ -36,7 +36,8 @@ def build_eval_step(cfg: Config):
             out_hw=batch.trg_image.shape[1:3],
             zbuffer_scale=cfg.render.zbuffer_scale,
             splat_method=cfg.render.splat_method,
-            use_pallas=cfg.render.use_pallas)
+            use_pallas=cfg.render.use_pallas,
+            pallas_max_dy=cfg.render.pallas_max_dy)
         covered = (out["coverage"] > 0).astype(jnp.float32)
         metrics = {
             "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),

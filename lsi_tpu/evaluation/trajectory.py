@@ -26,7 +26,8 @@ def _render_poses(ldi: LDI, poses: jnp.ndarray,
             ldi, jnp.broadcast_to(pose[None], (ldi.batch, 4, 4)),
             zbuffer_scale=render_cfg.zbuffer_scale,
             splat_method=render_cfg.splat_method,
-            use_pallas=render_cfg.use_pallas)["rgb"]
+            use_pallas=render_cfg.use_pallas,
+            pallas_max_dy=render_cfg.pallas_max_dy)["rgb"]
 
     # lax.map with batching: static HBM footprint (chunk renders in flight)
     # regardless of trajectory length — 60 or 600 poses both fit.

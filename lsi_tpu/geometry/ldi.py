@@ -77,7 +77,8 @@ def render_forward(ldi: LDI,
                    zbuffer_scale: float = 50.0,
                    max_disparity: float = 1.0,
                    splat_method: str = "scatter",
-                   use_pallas: bool = False):
+                   use_pallas: bool = False,
+                   pallas_max_dy: int = 4):
     """Render an LDI into a novel view by forward splatting.
 
     Args:
@@ -133,12 +134,13 @@ def render_forward(ldi: LDI,
     payload = jnp.concatenate(
         [ldi.textures.astype(jnp.float32), trg_disp], axis=-1)  # (B,L,H,W,4)
     if use_pallas:
-        from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
+        from lsi_tpu.kernels.splat_pallas import (DEFAULT_MAX_DX,
+                                                  splat_pallas_diff)
         accum, wsum = splat_pallas_diff(
             _fold_layers_into_height(payload),
             _fold_layers_into_height(trg_coords),
             _fold_layers_into_height(weights),
-            out_hw)
+            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 8)
     else:
         accum, wsum = splat_bilinear(
             _fold_layers_into_height(payload),

@@ -68,7 +68,8 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
         out_hw=target_image.shape[1:3],
         zbuffer_scale=render_cfg.zbuffer_scale,
         splat_method=render_cfg.splat_method,
-        use_pallas=render_cfg.use_pallas)
+        use_pallas=render_cfg.use_pallas,
+        pallas_max_dy=render_cfg.pallas_max_dy)
     covered = (out["coverage"] > 0).astype(jnp.float32)
     err = jnp.mean(_charbonnier(out["rgb"] - target_image.astype(jnp.float32)),
                    axis=-1, keepdims=True)
