@@ -58,14 +58,17 @@ def build_pipeline(height, width, num_layers, use_pallas, splat_method,
         translation_pose(np.array([-0.3, 0.0, 0.0], np.float32))[None],
         (batch, 4, 4))
 
-    def forward(params, image):
+    # NOTE: intrinsics/pose are explicit jit ARGUMENTS — arrays captured as
+    # closure constants cost ~47 ms/call on the axon tunnel (re-uploaded
+    # every invocation; measured in scripts/ bisects).
+    def forward(params, image, intrinsics, pose):
         ldi = model.apply({"params": params}, image, intrinsics)
         out = render_forward(ldi, pose, zbuffer_scale=50.0,
                              splat_method=splat_method,
                              use_pallas=use_pallas)
         return out["rgb"]
 
-    return state.params, jax.jit(forward)
+    return (state.params, intrinsics, pose), jax.jit(forward)
 
 
 def time_fn(fn, args, iters, warmup=2):
@@ -81,13 +84,14 @@ def time_fn(fn, args, iters, warmup=2):
 def measure(device, height, width, num_layers, batch, iters,
             use_pallas=False, splat_method="scatter"):
     with jax.default_device(device):
-        params, fn = build_pipeline(height, width, num_layers, use_pallas,
-                                    splat_method, batch)
+        (params, intr, pose), fn = build_pipeline(
+            height, width, num_layers, use_pallas, splat_method, batch)
         params = jax.device_put(params, device)
         image = jax.device_put(
             jnp.asarray(np.random.default_rng(0).uniform(
                 size=(batch, height, width, 3)), jnp.float32), device)
-        dt = time_fn(fn, (params, image), iters)
+        dt = time_fn(fn, (params, image, jax.device_put(intr, device),
+                          jax.device_put(pose, device)), iters)
     return batch / dt  # frames/sec
 
 
