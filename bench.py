@@ -68,17 +68,42 @@ def build_pipeline(height, width, num_layers, use_pallas, splat_method,
                              use_pallas=use_pallas)
         return out["rgb"]
 
-    return (state.params, intrinsics, pose), jax.jit(forward)
+    # Honest timing on the tunnel: run `iters` pipeline steps INSIDE one
+    # jitted lax.scan with a data-dependent carry (output feeds the next
+    # input at 1e-30 scale), so dispatch/RTT overheads and async-queue
+    # artifacts cannot fake the number — one call, fully serialized work.
+    def forward_loop(params, image, intrinsics, pose):
+        def body(img, _):
+            rgb = forward(params, img, intrinsics, pose)
+            return img + 1e-30 * jnp.mean(rgb), ()
+        out, _ = jax.lax.scan(body, image, None, length=LOOP_ITERS)
+        return out
+
+    return (state.params, intrinsics, pose), jax.jit(forward_loop)
 
 
-def time_fn(fn, args, iters, warmup=2):
+LOOP_ITERS = 10
+
+
+def _materialize(out) -> float:
+    """Force completion via an actual device->host transfer.
+
+    On the axon tunnel, jax.block_until_ready returns before execution
+    completes (measured: it reported >1 PFLOP/s pipelines). Reading a
+    reduction of the output back to the host physically requires the
+    compute to have happened.
+    """
+    return float(np.asarray(jnp.sum(out)))
+
+
+def time_fn(fn, args, iters, warmup=1):
     for _ in range(warmup):
-        fn(*args).block_until_ready()
+        _materialize(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    _materialize(out)
+    return (time.perf_counter() - t0) / (iters * LOOP_ITERS)
 
 
 def measure(device, height, width, num_layers, batch, iters,
@@ -91,7 +116,8 @@ def measure(device, height, width, num_layers, batch, iters,
             jnp.asarray(np.random.default_rng(0).uniform(
                 size=(batch, height, width, 3)), jnp.float32), device)
         dt = time_fn(fn, (params, image, jax.device_put(intr, device),
-                          jax.device_put(pose, device)), iters)
+                          jax.device_put(pose, device)),
+                     max(1, iters // LOOP_ITERS))
     return batch / dt  # frames/sec
 
 

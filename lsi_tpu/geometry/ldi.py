@@ -64,12 +64,6 @@ class LDI:
         return self.textures.shape[3]
 
 
-def _fold_layers_into_height(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, L, H, W, C) -> (B, L*H, W, C)."""
-    b, l, h, w, c = x.shape
-    return x.reshape(b, l * h, w, c)
-
-
 def render_forward(ldi: LDI,
                    pose_src2trg: jnp.ndarray,
                    K_trg: Optional[jnp.ndarray] = None,
@@ -104,15 +98,18 @@ def render_forward(ldi: LDI,
     if out_hw is None:
         out_hw = (h, w)
 
-    # Per-layer correspondences: fold L into batch for the projective math.
+    # Per-layer correspondences: fold L into batch for the projective math,
+    # then immediately into the source-height axis for everything else —
+    # the whole pipeline below runs on 4-D (B, L*H, W, C) tensors (5-D
+    # intermediates provoke pathological layouts on TPU).
     disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
     rep = lambda m: jnp.repeat(m, l, axis=0)
     trg_coords, trg_disp, valid = projection.forward_project(
         disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
 
-    trg_coords = trg_coords.reshape(b, l, h, w, 2)
-    trg_disp = trg_disp.reshape(b, l, h, w, 1)
-    valid = valid.reshape(b, l, h, w, 1)
+    trg_coords = trg_coords.reshape(b, l * h, w, 2)
+    trg_disp = trg_disp.reshape(b, l * h, w, 1)
+    valid = valid.reshape(b, l * h, w, 1)
 
     # Soft z-buffer weight in the *target* frame (nearer => heavier), fused
     # with the validity mask; single normalization realizes the blend. The
@@ -123,30 +120,26 @@ def render_forward(ldi: LDI,
     # accumulator for any zbuffer_scale.
     d_shift = jax.lax.stop_gradient(
         jnp.max(jnp.where(valid > 0, trg_disp, -jnp.inf),
-                axis=(1, 2, 3, 4), keepdims=True))
+                axis=(1, 2, 3), keepdims=True))
     d_shift = jnp.maximum(d_shift, 0.0)  # guard: image with no valid pixels
     zweight = jnp.exp(
         jnp.float32(zbuffer_scale) * (trg_disp.astype(jnp.float32) - d_shift))
     weights = zweight * valid
 
-    # One splat for all layers: fold L into source height (indices come from
-    # trg_coords, so source axis layout is free).
+    # One splat for all layers (source row r of layer l maps to target row
+    # r % h; indices come from trg_coords, so source layout is free).
     payload = jnp.concatenate(
-        [ldi.textures.astype(jnp.float32), trg_disp], axis=-1)  # (B,L,H,W,4)
+        [ldi.textures.astype(jnp.float32).reshape(b, l * h, w, 3),
+         trg_disp], axis=-1)  # (B, L*H, W, 4)
     if use_pallas:
         from lsi_tpu.kernels.splat_pallas import (DEFAULT_MAX_DX,
                                                   splat_pallas_diff)
         accum, wsum = splat_pallas_diff(
-            _fold_layers_into_height(payload),
-            _fold_layers_into_height(trg_coords),
-            _fold_layers_into_height(weights),
+            payload, trg_coords, weights,
             out_hw, DEFAULT_MAX_DX, pallas_max_dy, 8)
     else:
         accum, wsum = splat_bilinear(
-            _fold_layers_into_height(payload),
-            _fold_layers_into_height(trg_coords),
-            _fold_layers_into_height(weights),
-            out_hw, method=splat_method)
+            payload, trg_coords, weights, out_hw, method=splat_method)
 
     # Exact >0 test: shifted weights can be astronomically small for
     # heavily-occluded layers yet still meaningful after normalization.

@@ -17,12 +17,18 @@ sys.path.insert(0, ".")
 
 
 def timeit(fn, *args, iters=10, warmup=2):
+    def materialize(o):
+        # jax.block_until_ready returns early on the axon tunnel; a real
+        # device->host reduction read is the only trustworthy sync.
+        return float(np.asarray(jax.tree.reduce(
+            lambda a, b: a + jnp.sum(b).astype(jnp.float32),
+            jax.tree.leaves(o), jnp.float32(0))))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        materialize(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    materialize(out)
     return (time.perf_counter() - t0) / iters
 
 
