@@ -73,11 +73,15 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     ws = payload_ref.shape[2]
+    c1 = payload_ref.shape[1]
+    ndy = 2 * max_dy + 2  # dy offsets covered: [-max_dy, max_dy + 1]
     # Base target row of this source block within the (un-padded) image.
     r_base = (j * block_rows) % ho
     col0 = t * tile_w  # first padded-space column owned by this tile
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (ws, tile_w), 1)
+    # dy value per row of the stacked vertical-weight matrix.
+    dy_iota = (jax.lax.broadcasted_iota(jnp.float32, (ndy, ws), 0) - max_dy)
 
     for s in range(block_rows):  # static unroll
         payload = payload_ref[s]          # (C1, Ws)
@@ -94,15 +98,21 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
         m1 = (col_iota == (x0r[:, None] + 1)).astype(jnp.float32)
         a = (1.0 - fx)[:, None] * m0 + fx[:, None] * m1   # (Ws, tile_w)
 
-        for dy in range(-max_dy, max_dy + 2):  # static unroll
-            rw = ((1.0 - fy) * (ky == dy) + fy * (ky == (dy - 1)))
-            b = payload * rw[None, :]               # (C1, Ws)
-            contrib = jax.lax.dot_general(
-                b, a, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (C1, tile_w)
-            row0 = r_base + s + dy + pad_y
-            cur = out_ref[pl.ds(row0, 1), :, :]
-            out_ref[pl.ds(row0, 1), :, :] = cur + contrib[None]
+        # All dy offsets in ONE matmul + ONE accumulator update: stack the
+        # per-dy vertical weights into the M dimension and write the NDY
+        # consecutive output rows as a single block RMW.
+        kyb = ky[None, :]
+        rw_all = ((1.0 - fy)[None, :] * (kyb == dy_iota)
+                  + fy[None, :] * (kyb == (dy_iota - 1.0)))  # (NDY, Ws)
+        b_all = (rw_all[:, None, :] * payload[None, :, :]
+                 ).reshape(ndy * c1, ws)
+        contrib = jax.lax.dot_general(
+            b_all, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (NDY*C1, tile_w)
+        contrib = contrib.reshape(ndy, c1, tile_w)
+        row0 = r_base + s - max_dy + pad_y
+        cur = out_ref[pl.ds(row0, ndy), :, :]
+        out_ref[pl.ds(row0, ndy), :, :] = cur + contrib
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "max_dx", "max_dy",
