@@ -74,7 +74,7 @@ def main():
         tex = jnp.moveaxis(nn.sigmoid(rawt)[..., None, :], 3, 1)
         textures = jnp.concatenate([img.astype(jnp.float32)[:, None], tex],
                                    axis=1)
-        return f + 1e-30 * (jnp.mean(disp) + jnp.mean(textures))
+        return f + (1e-30 * (jnp.mean(disp) + jnp.mean(textures))).astype(f.dtype)
     scan_time(heads_step, feats, (c2v, c3v, img), "heads (5-D build)")
 
     def heads_flat_step(f, c2v, c3v, img):
@@ -87,7 +87,7 @@ def main():
         tex = nn.sigmoid(rawt)
         textures = jnp.concatenate([img.astype(jnp.float32), tex],
                                    axis=1)  # (B, 2H, W, 3)
-        return f + 1e-30 * (jnp.mean(disp) + jnp.mean(textures))
+        return f + (1e-30 * (jnp.mean(disp) + jnp.mean(textures))).astype(f.dtype)
     scan_time(heads_flat_step, feats, (c2v, c3v, img),
               "heads (folded 4-D build)")
 

@@ -50,3 +50,14 @@ def test_render_trajectory(rng):
     # identity pose (first frame) reproduces front layer closely
     np.testing.assert_allclose(np.asarray(frames[0]),
                                np.asarray(tex[:, 0]), atol=0.05)
+
+
+def test_video_export(tmp_path, rng):
+    from lsi_tpu.evaluation.video import save_frames, save_gif
+    frames = rng.uniform(size=(4, 1, 8, 12, 3)).astype("float32")
+    paths = save_frames(frames, str(tmp_path / "frames"))
+    assert len(paths) == 4
+    import os
+    assert all(os.path.exists(p) for p in paths)
+    gif = save_gif(frames, str(tmp_path / "sweep.gif"))
+    assert os.path.getsize(gif) > 0
