@@ -80,8 +80,9 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
     col0 = t * tile_w  # first padded-space column owned by this tile
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (ws, tile_w), 1)
-    # dy value per row of the stacked vertical-weight matrix.
-    dy_iota = (jax.lax.broadcasted_iota(jnp.float32, (ndy, ws), 0) - max_dy)
+    # dy value per row of the stacked vertical-weight matrix (int compares:
+    # Mosaic's tpu.iota is integer-only).
+    dy_iota = (jax.lax.broadcasted_iota(jnp.int32, (ndy, ws), 0) - max_dy)
 
     for s in range(block_rows):  # static unroll
         payload = payload_ref[s]          # (C1, Ws)
@@ -101,9 +102,9 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
         # All dy offsets in ONE matmul + ONE accumulator update: stack the
         # per-dy vertical weights into the M dimension and write the NDY
         # consecutive output rows as a single block RMW.
-        kyb = ky[None, :]
+        kyb = ky.astype(jnp.int32)[None, :]
         rw_all = ((1.0 - fy)[None, :] * (kyb == dy_iota)
-                  + fy[None, :] * (kyb == (dy_iota - 1.0)))  # (NDY, Ws)
+                  + fy[None, :] * (kyb == (dy_iota - 1)))  # (NDY, Ws)
         b_all = (rw_all[:, None, :] * payload[None, :, :]
                  ).reshape(ndy * c1, ws)
         contrib = jax.lax.dot_general(
