@@ -95,6 +95,30 @@ def _load_image(path: str, height: int, width: int) -> np.ndarray:
     return arr, (orig_h, orig_w)
 
 
+def _load_stereo_pair(left: str, right: str, height: int, width: int,
+                      dims_cache: Dict[str, Tuple[int, int]]):
+    """Load a rectified pair, preferring the native C++ threaded loader
+    (decode + antialiased resize in one call); PIL fallback. Returns
+    (left, right, (orig_h, orig_w))."""
+    from lsi_tpu import native
+
+    key = os.path.dirname(left)
+    if native.available():
+        if key not in dims_cache:
+            probe = native.decode_image(left)
+            if probe is not None:
+                dims_cache[key] = probe.shape[:2]
+        if key in dims_cache:
+            batch = native.load_batch([left, right], height, width,
+                                      num_threads=2)
+            if batch is not None and batch.max() > 0:
+                return batch[0], batch[1], dims_cache[key]
+    l_img, dims = _load_image(left, height, width)
+    r_img, _ = _load_image(right, height, width)
+    dims_cache[key] = dims
+    return l_img, r_img, dims
+
+
 def _photometric_augment(rng: np.random.Generator, *imgs):
     """Shared brightness/contrast/color jitter (same for both views)."""
     gamma = rng.uniform(0.8, 1.2)
@@ -120,6 +144,7 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
             "<root>/<date>/<date>_drive_*_sync/image_0{2,3}/data/*.png")
     rng = np.random.default_rng(seed)
     calib_cache: Dict[str, Tuple[np.ndarray, float]] = {}
+    dims_cache_img: Dict[str, Tuple[int, int]] = {}
 
     epoch = 0
     while True:
@@ -132,8 +157,9 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
                     parse_calib_cam_to_cam(rec["calib"]))
             K_full, baseline = calib_cache[rec["calib"]]
 
-            left, (oh, ow) = _load_image(rec["left"], cfg.height, cfg.width)
-            right, _ = _load_image(rec["right"], cfg.height, cfg.width)
+            left, right, (oh, ow) = _load_stereo_pair(
+                rec["left"], rec["right"], cfg.height, cfg.width,
+                dims_cache_img)
 
             K = np.asarray(proj_np.scale_intrinsics(
                 K_full[None], cfg.width / ow, cfg.height / oh))[0]

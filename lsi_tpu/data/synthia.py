@@ -60,6 +60,11 @@ def index_sequences(root: str) -> List[dict]:
 
 
 def _load_rgb(path: str, height: int, width: int) -> np.ndarray:
+    from lsi_tpu import native
+    if native.available():
+        batch = native.load_batch([path], height, width, num_threads=1)
+        if batch is not None and batch.max() > 0:
+            return batch[0]
     from PIL import Image
     img = Image.open(path).convert("RGB").resize((width, height),
                                                  Image.BILINEAR)
@@ -69,9 +74,12 @@ def _load_rgb(path: str, height: int, width: int) -> np.ndarray:
 def _load_depth_m(path: str, height: int, width: int) -> np.ndarray:
     """uint16 centimeters -> float meters, nearest-resized (no blending
     across depth edges)."""
-    from PIL import Image
-    img = Image.open(path)
-    arr = np.asarray(img)
+    from lsi_tpu import native
+    arr = native.decode_depth16(path) if native.available() else None
+    if arr is None:
+        from PIL import Image
+        img = Image.open(path)
+        arr = np.asarray(img)
     if arr.ndim == 3:  # some releases store depth in the R channel
         arr = arr[..., 0].astype(np.float32) * (65535.0 / 255.0)
     depth_m = arr.astype(np.float32) / 100.0
