@@ -28,7 +28,8 @@ class RenderConfig:
     zbuffer_scale: float = 50.0     # soft z-buffer sharpness (1/temperature).
     splat_method: str = "scatter"   # "scatter" | "sort" (lax paths).
     use_pallas: bool = False        # MXU one-hot Pallas splat kernel.
-    pallas_max_dy: int = 4          # vertical splat window (rows); raise for
+    pallas_max_dy: int = 2          # vertical splat window (rows); rectified
+                                    # stereo needs <=1; raise (e.g. 16) for
                                     # trajectory sweeps with rotation.
 
 
@@ -121,9 +122,11 @@ PRESETS = {
                         batch_size=64),
         train=TrainConfig(remat_decoder=True),
     ),
-    # 5: camera-trajectory sweep — one LDI rendered to 60 novel views.
+    # 5: camera-trajectory sweep — one LDI rendered to 60 novel views
+    #    (rotation sweeps need a wide vertical splat window).
     "trajectory_sweep": _cfg(
         model=ModelConfig(num_layers=2),
+        render=RenderConfig(pallas_max_dy=16),
         data=DataConfig(dataset="synthetic", height=256, width=768,
                         batch_size=1),
     ),

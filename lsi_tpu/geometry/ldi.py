@@ -72,7 +72,7 @@ def render_forward(ldi: LDI,
                    max_disparity: float = 1.0,
                    splat_method: str = "scatter",
                    use_pallas: bool = False,
-                   pallas_max_dy: int = 4):
+                   pallas_max_dy: int = 2):
     """Render an LDI into a novel view by forward splatting.
 
     Args:

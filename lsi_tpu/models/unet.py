@@ -24,12 +24,15 @@ class ConvBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    use_norm: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        if self.use_norm:
+            x = nn.GroupNorm(num_groups=min(8, self.features),
+                             dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -60,7 +63,11 @@ class UNet(nn.Module):
 
         skips = []
         for i, f in enumerate(filts):
-            x = ConvBlock(f, stride=1, dtype=self.dtype, name=f"enc{i}a")(x)
+            # Norm-free at full resolution: full-res feature maps dominate
+            # HBM traffic (the pipeline is bandwidth-bound on TPU), and
+            # normalization there buys little for disp-net-style heads.
+            x = ConvBlock(f, stride=1, dtype=self.dtype, use_norm=i > 0,
+                          name=f"enc{i}a")(x)
             skips.append(x)
             x = ConvBlock(f, stride=2, dtype=self.dtype, name=f"enc{i}b")(x)
 
@@ -69,8 +76,10 @@ class UNet(nn.Module):
         for i in reversed(range(len(filts))):
             b, h, w, _ = x.shape
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-            x = ConvBlock(filts[i], dtype=self.dtype, name=f"dec{i}a")(x)
+            x = ConvBlock(filts[i], dtype=self.dtype, use_norm=i > 0,
+                          name=f"dec{i}a")(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = ConvBlock(filts[i], dtype=self.dtype, name=f"dec{i}b")(x)
+            x = ConvBlock(filts[i], dtype=self.dtype, use_norm=i > 0,
+                          name=f"dec{i}b")(x)
 
         return x

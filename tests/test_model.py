@@ -100,7 +100,7 @@ def test_api_end_to_end(rng):
     # functional forms
     ldi2 = predict_ldi(img, model.params, cfg.model)
     np.testing.assert_allclose(np.asarray(ldi2.disparities),
-                               np.asarray(ldi.disparities), atol=1e-6)
+                               np.asarray(ldi.disparities), atol=1e-5)
     novel2 = render(ldi, pose)
     np.testing.assert_allclose(np.asarray(novel2), np.asarray(novel),
                                atol=1e-5)
