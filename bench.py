@@ -169,21 +169,32 @@ def main():
         fps3 = measure(accel, h, w, 3, batch=16, iters=max(2, iters // 2),
                        use_pallas=use_pallas)
         log(f"[cfg3] 3-layer b16: {fps3:.2f} frames/s")
-        # config 5: trajectory sweep 60 views from one LDI
+        # config 4: high-res 512x1536 (global batch 64 = DP over a v5e-8;
+        # per-chip batch 8 measured here on the single attached chip)
+        try:
+            fps4 = measure(accel, 512, 1536, 2, batch=8,
+                           iters=max(2, iters // 2), use_pallas=use_pallas)
+            log(f"[cfg4] 512x1536 b8/chip: {fps4:.2f} frames/s/chip "
+                f"(x8 chips = b64 global)")
+        except Exception as e:
+            log(f"[cfg4] failed: {type(e).__name__}: {e}")
+        # config 5: trajectory sweep 60 views from one LDI (materialized
+        # timing; rotation sweep => wide vertical window)
         rng = np.random.default_rng(0)
         tex = jnp.asarray(rng.uniform(size=(1, layers, h, w, 3)), jnp.float32)
         disp = jnp.asarray(
-            np.sort(rng.uniform(0.05, 0.8, (1, layers, h, w, 1)), axis=1)[:, ::-1],
-            jnp.float32)
+            np.sort(rng.uniform(0.05, 0.8, (1, layers, h, w, 1)),
+                    axis=1)[:, ::-1].copy(), jnp.float32)
         K = jnp.asarray(np.array(
             [[0.95 * w, 0, (w - 1) / 2], [0, 0.95 * w, (h - 1) / 2],
              [0, 0, 1]], np.float32)[None])
         ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
-        rcfg = RenderConfig(use_pallas=use_pallas)
-        render_trajectory(ldi, 60, render_cfg=rcfg).block_until_ready()
+        rcfg = RenderConfig(use_pallas=use_pallas, pallas_max_dy=16)
+        _materialize(render_trajectory(ldi, 60, render_cfg=rcfg))
         t0 = time.perf_counter()
         for _ in range(3):
-            render_trajectory(ldi, 60, render_cfg=rcfg).block_until_ready()
+            out5 = render_trajectory(ldi, 60, render_cfg=rcfg)
+        _materialize(out5)
         dt = (time.perf_counter() - t0) / 3
         log(f"[cfg5] trajectory 60 views: {60 / dt:.2f} views/s")
 
