@@ -136,7 +136,7 @@ def render_forward(ldi: LDI,
                                                   splat_pallas_diff)
         accum, wsum = splat_pallas_diff(
             payload, trg_coords, weights,
-            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 8)
+            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 32)
     else:
         accum, wsum = splat_bilinear(
             payload, trg_coords, weights, out_hw, method=splat_method)
@@ -149,6 +149,30 @@ def render_forward(ldi: LDI,
         "disparity": out[..., 3:4],
         "coverage": wsum,
     }
+
+
+def gather_target_per_layer_folded(ldi: LDI,
+                                   target_image: jnp.ndarray,
+                                   pose_src2trg: jnp.ndarray,
+                                   K_trg: Optional[jnp.ndarray] = None):
+    """Folded (B*L, H, W, C) variant of :func:`gather_target_per_layer`.
+
+    The loss hot path uses this form: all elementwise work stays on 4-D
+    tensors (5-D intermediates provoke pathological TPU layouts); callers
+    reshape only the (small) reduction input back to (B, L, ...).
+    """
+    b, l, h, w, _ = ldi.textures.shape
+    if K_trg is None:
+        K_trg = ldi.intrinsics
+
+    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
+    rep = lambda m: jnp.repeat(m, l, axis=0)
+    trg_coords, trg_disp, in_front = projection.forward_project(
+        disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
+
+    trg_rep = rep(target_image)  # (B*L, Ht, Wt, 3)
+    sampled, in_bounds = bilinear_sample(trg_rep, trg_coords)
+    return sampled, in_front * in_bounds, trg_disp
 
 
 def gather_target_per_layer(ldi: LDI,
@@ -169,17 +193,9 @@ def gather_target_per_layer(ldi: LDI,
       trg_disp:(B, L, H, W, 1) per-layer disparity in the target frame.
     """
     b, l, h, w, _ = ldi.textures.shape
-    if K_trg is None:
-        K_trg = ldi.intrinsics
-
-    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
-    rep = lambda m: jnp.repeat(m, l, axis=0)
-    trg_coords, trg_disp, in_front = projection.forward_project(
-        disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
-
-    trg_rep = rep(target_image)  # (B*L, Ht, Wt, 3)
-    sampled, in_bounds = bilinear_sample(trg_rep, trg_coords)
+    sampled, valid, trg_disp = gather_target_per_layer_folded(
+        ldi, target_image, pose_src2trg, K_trg)
 
     sampled = sampled.reshape(b, l, h, w, 3)
-    valid = (in_front * in_bounds).reshape(b, l, h, w, 1)
+    valid = valid.reshape(b, l, h, w, 1)
     return sampled, valid, trg_disp.reshape(b, l, h, w, 1)

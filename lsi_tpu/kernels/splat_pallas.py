@@ -48,7 +48,7 @@ DEFAULT_MAX_DY = 4
 
 def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
                   block_rows: int, ho: int, max_dy: int, pad_x: int,
-                  pad_y: int, tile_w: int):
+                  pad_y: int, tile_w: int, bf16_matmul: bool):
     """One grid step: splat `block_rows` source rows into this column
     tile's resident padded accumulator.
 
@@ -84,7 +84,7 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
     # Mosaic's tpu.iota is integer-only).
     dy_iota = (jax.lax.broadcasted_iota(jnp.int32, (ndy, ws), 0) - max_dy)
 
-    for s in range(block_rows):  # static unroll
+    def row_body(s, _):
         payload = payload_ref[s]          # (C1, Ws)
         x0 = tcol_ref[s]                  # (Ws,) integer-valued padded col
         fx = fx_ref[s]                    # (Ws,)
@@ -107,22 +107,32 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
                   + fy[None, :] * (kyb == (dy_iota - 1)))  # (NDY, Ws)
         b_all = (rw_all[:, None, :] * payload[None, :, :]
                  ).reshape(ndy * c1, ws)
+        if bf16_matmul:
+            # 2x MXU rate; ~3-digit weight precision, f32 accumulation.
+            a_mm = a.astype(jnp.bfloat16)
+            b_mm = b_all.astype(jnp.bfloat16)
+        else:
+            a_mm, b_mm = a, b_all
         contrib = jax.lax.dot_general(
-            b_all, a, (((1,), (0,)), ((), ())),
+            b_mm, a_mm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (NDY*C1, tile_w)
         contrib = contrib.reshape(ndy, c1, tile_w)
         row0 = r_base + s - max_dy + pad_y
         cur = out_ref[pl.ds(row0, ndy), :, :]
         out_ref[pl.ds(row0, ndy), :, :] = cur + contrib
+        return 0
+
+    jax.lax.fori_loop(0, block_rows, row_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "max_dx", "max_dy",
-                                             "block_rows"))
+                                             "block_rows", "bf16_matmul"))
 def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
                  weights: jnp.ndarray, out_hw,
                  max_dx: int = DEFAULT_MAX_DX,
                  max_dy: int = DEFAULT_MAX_DY,
-                 block_rows: int = 8):
+                 block_rows: int = 32,
+                 bf16_matmul: bool = False):
     """Drop-in replacement for ops.splat.splat_bilinear (scatter method).
 
     Args:
@@ -138,15 +148,19 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     """
     out_h, out_w = out_hw
     n, hs, ws, c = values.shape
-    if hs % block_rows or out_h % block_rows:
-        raise ValueError(f"rows {hs}/{out_h} not divisible by {block_rows}")
+    while hs % block_rows or out_h % block_rows:
+        block_rows //= 2  # shrink to a common divisor (powers of two)
+    if block_rows < 1:
+        raise ValueError(f"no valid block_rows for rows {hs}/{out_h}")
     c1 = c + 1
     pad_y = max_dy + 1
     h2 = out_h + 2 * pad_y
 
     # Column tiling: pick a tile width and round the padded width up to a
-    # multiple of it (extra columns fall in the dead margin).
-    tile_w = 256 if out_w >= 256 else 128
+    # multiple of it (extra columns fall in the dead margin). Wider tiles
+    # and taller row blocks cut grid-step count (per-step overhead is
+    # significant on this platform) and input re-fetch per tile.
+    tile_w = 512 if out_w >= 512 else (256 if out_w >= 256 else 128)
     pad_x = max_dx + 1
     wpad = out_w + 2 * pad_x
     wpad = ((wpad + tile_w - 1) // tile_w) * tile_w
@@ -173,7 +187,7 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     grid = (n, num_tiles, hs // block_rows)
     kernel = functools.partial(
         _splat_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
-        pad_x=pad_x, pad_y=pad_y, tile_w=tile_w)
+        pad_x=pad_x, pad_y=pad_y, tile_w=tile_w, bf16_matmul=bf16_matmul)
 
     row_spec = pl.BlockSpec((None, block_rows, ws),
                             lambda i, t, j: (i, j, 0),

@@ -21,7 +21,8 @@ from typing import Dict
 import jax.numpy as jnp
 
 from lsi_tpu.config import LossConfig, RenderConfig
-from lsi_tpu.geometry.ldi import LDI, gather_target_per_layer, render_forward
+from lsi_tpu.geometry.ldi import (LDI, gather_target_per_layer_folded,
+                                  render_forward)
 from lsi_tpu.utils.helpers import divide_safe
 
 
@@ -41,16 +42,22 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
     samples (out of view) get a large error so the min ignores them, and
     pixels invalid in every layer are masked out entirely.
     """
-    sampled, valid, _ = gather_target_per_layer(
+    b, l, h, w, _ = ldi.textures.shape
+    # Elementwise work stays on folded 4-D tensors (TPU layouts); only the
+    # tiny per-pixel error map is reshaped to 5-D for the layer reduction.
+    sampled, valid, _ = gather_target_per_layer_folded(
         ldi, target_image, pose_src2trg, K_trg)
-    err = jnp.mean(_charbonnier(sampled - ldi.textures.astype(jnp.float32)),
-                   axis=-1, keepdims=True)  # (B, L, H, W, 1)
+    tex = ldi.textures.astype(jnp.float32).reshape(b * l, h, w, 3)
+    err = jnp.mean(_charbonnier(sampled - tex),
+                   axis=-1, keepdims=True)  # (B*L, H, W, 1)
     big = jnp.asarray(1e3, err.dtype)
-    err_masked = jnp.where(valid > 0.5, err, big)
+    err_masked = jnp.where(valid > 0.5, err, big).reshape(b, l, h, w, 1)
+    valid = valid.reshape(b, l, h, w, 1)
     if min_over_layers:
         per_pixel = jnp.min(err_masked, axis=1)  # (B, H, W, 1)
         any_valid = jnp.max(valid, axis=1)
     else:
+        err = err.reshape(b, l, h, w, 1)
         per_pixel = divide_safe(jnp.sum(err * valid, axis=1),
                                 jnp.sum(valid, axis=1))
         any_valid = jnp.max(valid, axis=1)
