@@ -46,23 +46,25 @@ DEFAULT_MAX_DX = 128
 DEFAULT_MAX_DY = 4
 
 
-def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
+def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
                   block_rows: int, ho: int, max_dy: int, pad_x: int,
                   pad_y: int, tile_w: int, bf16_matmul: bool):
     """One grid step: splat `block_rows` source rows into this column
     tile's resident padded accumulator.
 
-    Channel-minor layouts everywhere: the last (lane) axis is a wide
-    spatial axis, never the 5-channel axis, so Mosaic does not pad
-    channels to 128 lanes.
+    The bilinear scatter matrix is built as a TENT function: for target
+    column c and (fraction-carrying) target column coordinate x,
+    ``A[i, c] = relu(1 - |c - x_i|)`` is exactly (1-fx) at floor(x) and fx
+    at floor(x)+1 — both corners in three VPU passes, no integer one-hot
+    compares. The vertical weights use the same tent over the stacked dy
+    offsets. Channel-minor layouts everywhere (the last/lane axis is a wide
+    spatial axis, never the 5-channel axis, which Mosaic would pad to 128).
 
     payload_ref: (block_rows, C1, Ws) f32 — [v*w, w] per source pixel.
-    tcol_ref:    (block_rows, Ws) f32 — integer-valued target column in
-                 padded space (floor(x) + pad_x; exact float add).
-    fx_ref:      (block_rows, Ws) f32 — horizontal fraction (pre-snapped).
-    ky_ref:      (block_rows, Ws) f32 — floor(y) - base_row (vertical int
-                 displacement, as float for VPU compare).
-    fy_ref:      (block_rows, Ws) f32 — vertical fraction (pre-snapped).
+    xt_ref:      (block_rows, Ws) f32 — target column in padded space
+                 (floor(x) + pad_x + snapped fraction).
+    yt_ref:      (block_rows, Ws) f32 — vertical displacement + snapped
+                 fraction (floor(y) - base_row + fy), window-clipped.
     out_ref:     (ho + 2*pad_y, C1, tile_w) f32 — this tile's accumulator.
     """
     t = pl.program_id(1)
@@ -79,32 +81,24 @@ def _splat_kernel(payload_ref, tcol_ref, fx_ref, ky_ref, fy_ref, out_ref, *,
     r_base = (j * block_rows) % ho
     col0 = t * tile_w  # first padded-space column owned by this tile
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ws, tile_w), 1)
-    # dy value per row of the stacked vertical-weight matrix (int compares:
-    # Mosaic's tpu.iota is integer-only).
-    dy_iota = (jax.lax.broadcasted_iota(jnp.int32, (ndy, ws), 0) - max_dy)
+    col_f = jax.lax.broadcasted_iota(
+        jnp.int32, (ws, tile_w), 1).astype(jnp.float32)
+    dy_f = jax.lax.broadcasted_iota(
+        jnp.int32, (ndy, ws), 0).astype(jnp.float32) - max_dy
 
     def row_body(s, _):
         payload = payload_ref[s]          # (C1, Ws)
-        x0 = tcol_ref[s]                  # (Ws,) integer-valued padded col
-        fx = fx_ref[s]                    # (Ws,)
-        ky = ky_ref[s]                    # (Ws,)
-        fy = fy_ref[s]                    # (Ws,)
+        xt = xt_ref[s] - col0             # (Ws,) fractional target column
+        yt = yt_ref[s]                    # (Ws,) fractional row displacement
 
-        # One-hot column matrix restricted to this tile's column range,
-        # both horizontal corners folded in:
-        # A[i, c] = (1-fx_i) [col0+c == x0_i] + fx_i [col0+c == x0_i + 1].
-        x0r = x0.astype(jnp.int32) - col0
-        m0 = (col_iota == x0r[:, None]).astype(jnp.float32)
-        m1 = (col_iota == (x0r[:, None] + 1)).astype(jnp.float32)
-        a = (1.0 - fx)[:, None] * m0 + fx[:, None] * m1   # (Ws, tile_w)
+        # Horizontal tent: both bilinear corners in one expression.
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(col_f - xt[:, None]))
+        # Vertical tent over the stacked dy offsets.
+        rw_all = jnp.maximum(0.0, 1.0 - jnp.abs(dy_f - yt[None, :]))
 
-        # All dy offsets in ONE matmul + ONE accumulator update: stack the
-        # per-dy vertical weights into the M dimension and write the NDY
-        # consecutive output rows as a single block RMW.
-        kyb = ky.astype(jnp.int32)[None, :]
-        rw_all = ((1.0 - fy)[None, :] * (kyb == dy_iota)
-                  + fy[None, :] * (kyb == (dy_iota - 1)))  # (NDY, Ws)
+        # All dy offsets in ONE matmul + ONE accumulator update: the per-dy
+        # vertical weights stack into the M dimension and the NDY
+        # consecutive output rows are written as a single block RMW.
         b_all = (rw_all[:, None, :] * payload[None, :, :]
                  ).reshape(ndy * c1, ws)
         if bf16_matmul:
@@ -173,16 +167,16 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
 
     x = coords[..., 0].astype(jnp.float32)
     y = coords[..., 1].astype(jnp.float32)
-    # Integer target column in padded space (exact float add); fraction
-    # computed pre-padding so padding cannot perturb it. Far-out values are
-    # clamped into the dead zone (the one-hot never matches them).
+    # Fraction-carrying target coordinates for the in-kernel tents. The
+    # integer part is computed/clipped separately so padding cannot perturb
+    # the (snapped) fraction; far-out values land in the tent's dead zone.
     x0 = jnp.floor(x)
-    fx = snap_fraction(x - x0)
-    xp = jnp.clip(x0, -2.0 * wpad, 2.0 * wpad) + pad_x
+    xt = (jnp.clip(x0, -2.0 * wpad, 2.0 * wpad) + pad_x
+          + snap_fraction(x - x0))
     base_row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
     y0 = jnp.floor(y)
-    ky = jnp.clip(y0 - base_row, -(max_dy + 2.0), max_dy + 2.0)
-    fy = snap_fraction(y - y0)
+    yt = (jnp.clip(y0 - base_row, -(max_dy + 2.0), max_dy + 2.0)
+          + snap_fraction(y - y0))
 
     grid = (n, num_tiles, hs // block_rows)
     kernel = functools.partial(
@@ -201,8 +195,6 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             row_spec,
             row_spec,
-            row_spec,
-            row_spec,
         ],
         out_specs=pl.BlockSpec(
             (None, None, h2, c1, tile_w), lambda i, t, j: (i, t, 0, 0, 0),
@@ -212,7 +204,7 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(payload, xp, fx, ky, fy)
+    )(payload, xt, yt)
 
     # (N, CT, H2, C1, TW) -> (N, H2, C1, Wpad) -> interior (N, Ho, Wo, C1).
     out = out.transpose(0, 2, 3, 1, 4).reshape(n, h2, c1, wpad)
