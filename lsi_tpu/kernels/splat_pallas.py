@@ -150,11 +150,17 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     pad_y = max_dy + 1
     h2 = out_h + 2 * pad_y
 
-    # Column tiling: pick a tile width and round the padded width up to a
-    # multiple of it (extra columns fall in the dead margin). Wider tiles
-    # and taller row blocks cut grid-step count (per-step overhead is
-    # significant on this platform) and input re-fetch per tile.
-    tile_w = 512 if out_w >= 512 else (256 if out_w >= 256 else 128)
+    # Column tiling: the widest tile whose double-buffered accumulator
+    # (h2 x 8-padded channels x tile_w f32) fits a ~8 MB VMEM budget —
+    # wider tiles cut grid-step count and input re-fetch, but the
+    # accumulator height scales with the output height (512x1536 needs
+    # narrower tiles than 256x768).
+    budget = 8 * 1024 * 1024
+    tile_w = 128
+    for cand in (512, 256):
+        if out_w >= cand and h2 * 8 * cand * 4 * 2 <= budget:
+            tile_w = cand
+            break
     pad_x = max_dx + 1
     wpad = out_w + 2 * pad_x
     wpad = ((wpad + tile_w - 1) // tile_w) * tile_w

@@ -104,3 +104,23 @@ def test_api_end_to_end(rng):
     novel2 = render(ldi, pose)
     np.testing.assert_allclose(np.asarray(novel2), np.asarray(novel),
                                atol=1e-5)
+
+
+def test_single_layer_ldi(rng):
+    """L=1 degenerates to plain single-image depth prediction."""
+    cfg = ModelConfig(num_layers=1, base_filters=8, num_scales=2,
+                      compute_dtype="float32")
+    model = LDIPredictor(cfg)
+    img = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(3), img,
+                           default_intrinsics(1, 16, 16))
+    ldi = model.apply(variables, img, default_intrinsics(1, 16, 16))
+    assert ldi.textures.shape == (1, 1, 16, 16, 3)
+    assert ldi.disparities.shape == (1, 1, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(ldi.textures[:, 0]),
+                               np.asarray(img), atol=1e-6)
+    # renders fine
+    from lsi_tpu.geometry.ldi import render_forward
+    pose = transforms.translation_pose(np.array([[0.05, 0, 0]], np.float32))
+    out = render_forward(ldi, pose)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
