@@ -89,8 +89,20 @@ def _cfg(**kw) -> Config:
     return Config(**kw)
 
 
-# The five BASELINE.json evaluation configurations as named presets.
+# The five BASELINE.json evaluation configurations as named presets, plus
+# the synthetic sanity experiment (the paper's two-plane overfit setting).
 PRESETS = {
+    # 0: synthetic sanity — train on analytic two-plane stereo scenes with
+    #    GT depth available for eval (the fastest end-to-end check).
+    "synthetic_sanity": _cfg(
+        model=ModelConfig(num_layers=2, base_filters=16, num_scales=4),
+        render=RenderConfig(zbuffer_scale=30.0),
+        loss=LossConfig(photo_mode="both", smoothness_weight=0.01),
+        data=DataConfig(dataset="synthetic", height=128, width=256,
+                        batch_size=8),
+        train=TrainConfig(learning_rate=5e-4, warmup_steps=20,
+                          max_steps=2000),
+    ),
     # 1: single KITTI stereo pair, 2-layer LDI + inverse-warp view synthesis
     #    @256x768 (the CPU denominator config).
     "kitti_ldi2": _cfg(

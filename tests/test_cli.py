@@ -10,7 +10,7 @@ from lsi_tpu.train.__main__ import apply_override, parse_args
 def test_presets_exist():
     assert set(PRESETS) == {"kitti_ldi2", "synthia_ldi2_splat",
                             "kitti_ldi3_b16", "highres_b64",
-                            "trajectory_sweep"}
+                            "trajectory_sweep", "synthetic_sanity"}
     cfg = get_config("kitti_ldi3_b16")
     assert cfg.model.num_layers == 3
     assert cfg.data.batch_size == 16

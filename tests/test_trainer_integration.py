@@ -58,3 +58,15 @@ def test_trainer_runs_checkpoints_resumes(tmp_path):
     steps = [r["step"] for r in recs2]
     # resumed run logged steps beyond 6 only
     assert 8 in steps or 9 in steps
+
+
+def test_profiler_trace_written(tmp_path):
+    cfg = tiny_config(tmp_path / "ckpt2")
+    cfg = cfg.replace(train=TrainConfig(
+        learning_rate=1e-3, warmup_steps=1, max_steps=2,
+        checkpoint_dir=str(tmp_path / "ckpt2"), log_every=1,
+        checkpoint_every=10, profile_dir=str(tmp_path / "trace")))
+    t = Trainer(cfg)
+    t.train()
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
