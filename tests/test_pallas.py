@@ -194,3 +194,15 @@ def test_render_forward_use_pallas_matches(rng):
     np.testing.assert_allclose(np.asarray(out_p["coverage"]),
                                np.asarray(out_lax["coverage"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_matches_lax_three_layers(rng):
+    """cfg3 path: 3 layers folded into the source height axis."""
+    vals, coords, wts, out_hw = make_case(rng, n=1, layers=3, h=16, w=128,
+                                          max_shift=10, jitter_y=1.2)
+    a_p, w_p = call_pallas(vals, coords, wts, out_hw, max_dx=16, max_dy=4)
+    a_l, w_l = splat_bilinear(vals, coords, wts, out_hw)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
+                               rtol=1e-5, atol=1e-5)
