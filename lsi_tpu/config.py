@@ -9,7 +9,7 @@ five BASELINE.json benchmark configurations ship as named presets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+
 
 
 @dataclasses.dataclass(frozen=True)

@@ -8,7 +8,7 @@ inspection. GIF uses PIL (no ffmpeg dependency in this environment).
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import flax.linen as nn
 import flax.struct
 import jax.numpy as jnp
 
-from lsi_tpu.config import ModelConfig
+
 from lsi_tpu.geometry import homography
 from lsi_tpu.models.unet import UNet
 
