@@ -37,6 +37,8 @@ class RenderConfig:
 class LossConfig:
     photo_mode: str = "inverse_warp"  # "inverse_warp" | "splat" | "both"
     min_over_layers: bool = True      # per-pixel min over L (layer specializ.)
+    ssim_weight: float = 0.0          # alpha in alpha*SSIM + (1-alpha)*L1 on
+                                      # the splat composite (0 = pure L1).
     smoothness_weight: float = 0.05
     edge_aware_smoothness: bool = True
     splat_weight: float = 1.0

@@ -68,8 +68,13 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
 def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
                          pose_src2trg: jnp.ndarray,
                          render_cfg: RenderConfig,
-                         K_trg=None) -> jnp.ndarray:
-    """Scatter-direction photometric loss on the soft-z composite render."""
+                         K_trg=None, ssim_weight: float = 0.0) -> jnp.ndarray:
+    """Scatter-direction photometric loss on the soft-z composite render.
+
+    With ``ssim_weight`` alpha > 0, uses the monodepth-style mix
+    alpha * (1 - SSIM)/2 + (1 - alpha) * charbonnier (structure-aware term
+    on top of the reference's plain photometric loss).
+    """
     out = render_forward(
         ldi, pose_src2trg, K_trg=K_trg,
         out_hw=target_image.shape[1:3],
@@ -78,9 +83,14 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
         use_pallas=render_cfg.use_pallas,
         pallas_max_dy=render_cfg.pallas_max_dy)
     covered = (out["coverage"] > 0).astype(jnp.float32)
-    err = jnp.mean(_charbonnier(out["rgb"] - target_image.astype(jnp.float32)),
-                   axis=-1, keepdims=True)
-    return divide_safe(jnp.sum(err * covered), jnp.sum(covered))
+    trg32 = target_image.astype(jnp.float32)
+    err = jnp.mean(_charbonnier(out["rgb"] - trg32), axis=-1, keepdims=True)
+    photo = divide_safe(jnp.sum(err * covered), jnp.sum(covered))
+    if ssim_weight > 0.0:
+        from lsi_tpu.evaluation.metrics import ssim
+        structural = (1.0 - ssim(out["rgb"] * covered, trg32 * covered)) / 2.0
+        return ssim_weight * structural + (1.0 - ssim_weight) * photo
+    return photo
 
 
 def disparity_smoothness(ldi: LDI, edge_aware: bool = True) -> jnp.ndarray:
@@ -127,7 +137,8 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
         parts["photo_splat"] = (
             loss_cfg.splat_weight
             * view_synthesis_splat(ldi, target_image, pose_src2trg,
-                                   render_cfg, K_trg))
+                                   render_cfg, K_trg,
+                                   ssim_weight=loss_cfg.ssim_weight))
     if loss_cfg.smoothness_weight > 0:
         parts["smoothness"] = (
             loss_cfg.smoothness_weight

@@ -99,3 +99,24 @@ def test_total_loss_assembles_and_differentiates(rng):
     parts = total_loss(ldi, trg, pose, cfg, RenderConfig())
     assert {"photo_inverse_warp", "photo_splat", "smoothness",
             "total"} <= set(parts)
+
+
+def test_ssim_mixed_splat_loss(rng):
+    ldi = flat_ldi(rng, l=1)
+    trg = jnp.asarray(np.asarray(ldi.textures)[:, 0])
+    pose = transforms.identity_pose((1,))
+    from lsi_tpu.losses.losses import view_synthesis_splat
+    pure = view_synthesis_splat(ldi, trg, pose, RenderConfig())
+    mixed = view_synthesis_splat(ldi, trg, pose, RenderConfig(),
+                                 ssim_weight=0.85)
+    # perfect reconstruction: both near zero
+    assert float(pure) < 2e-4
+    assert float(mixed) < 2e-3
+    # wrong target: mixed must be finite and differentiable
+    trg2 = 1.0 - trg
+    val, g = jax.value_and_grad(
+        lambda d: view_synthesis_splat(
+            LDI(textures=ldi.textures, disparities=d,
+                intrinsics=ldi.intrinsics), trg2, pose, RenderConfig(),
+            ssim_weight=0.85))(ldi.disparities)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(g)).all()

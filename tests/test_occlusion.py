@@ -1,0 +1,80 @@
+"""Occluded-region evaluation on an analytic two-layer scene."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lsi_tpu.evaluation.occlusion import disocclusion_mask, occlusion_metrics
+from lsi_tpu.geometry import transforms
+from lsi_tpu.geometry.ldi import LDI
+
+
+def make_scene(h=32, w=64, fg_x0=20, fg_x1=40, d_fg=0.4, d_bg=0.1,
+               fx=60.0):
+    """Source LDI: layer 0 = visible surface (fg box over bg), layer 1 = bg
+    everywhere (the hidden content). GT target disparity is analytic."""
+    tex0 = np.zeros((h, w, 3), np.float32)
+    tex0[:] = 0.2  # bg gray
+    tex0[:, fg_x0:fg_x1] = 1.0  # fg white box
+    disp0 = np.full((h, w), d_bg, np.float32)
+    disp0[:, fg_x0:fg_x1] = d_fg
+    tex1 = np.full((h, w, 3), 0.2, np.float32)
+    disp1 = np.full((h, w), d_bg, np.float32)
+
+    K = np.array([[fx, 0, (w - 1) / 2], [0, fx, (h - 1) / 2], [0, 0, 1]],
+                 np.float32)
+    ldi = LDI(
+        textures=jnp.asarray(np.stack([tex0, tex1])[None]),
+        disparities=jnp.asarray(np.stack([disp0, disp1])[None, ..., None]),
+        intrinsics=jnp.asarray(K[None]))
+    return ldi, (fg_x0, fg_x1, d_fg, d_bg, fx)
+
+
+def test_disocclusion_mask_appears_beside_foreground():
+    ldi, (x0, x1, d_fg, d_bg, fx) = make_scene()
+    tx = -0.5
+    pose = transforms.translation_pose(np.array([[tx, 0, 0]], np.float32))
+    mask = np.asarray(disocclusion_mask(ldi, pose, zbuffer_scale=100.0))
+    # Camera moves +x: fg (shift fx*tx*d_fg = -12) moves left more than bg
+    # (-3) => a disocclusion strip opens at the RIGHT side of the fg box's
+    # target position.
+    fg_shift = fx * tx * d_fg   # -12
+    bg_shift = fx * tx * d_bg   # -3
+    strip = mask[0, 16, :, 0]
+    inside = strip[int(x1 + fg_shift) + 2: int(x1 + bg_shift) - 2]
+    assert inside.mean() > 0.8, strip.nonzero()
+    # no disocclusion far from the box (interior only: the right image
+    # border also disoccludes — content shifts left off the frame)
+    assert strip[:5].sum() == 0
+    assert strip[45:58].sum() == 0
+
+
+def test_occlusion_metrics_good_vs_bad_hidden_layer():
+    ldi, (x0, x1, d_fg, d_bg, fx) = make_scene()
+    pose = transforms.translation_pose(np.array([[-0.5, 0, 0]], np.float32))
+    h, w = 32, 64
+    gt = jnp.full((1, h, w, 1), d_bg, jnp.float32)
+    # (GT target disparity: bg almost everywhere; where the fg box lands it
+    # is d_fg, but the disoccluded strip is bg — mask makes bg-only valid.)
+
+    good = occlusion_metrics(ldi, pose, gt, zbuffer_scale=100.0)
+    assert float(good["occ_fraction"]) > 0.02
+    assert float(good["occ_abs_rel"]) < 0.05
+
+    # corrupt the hidden layer's depth: occluded-region accuracy collapses,
+    # even though layer 0 (plain monocular depth) is untouched.
+    bad_disp = np.asarray(ldi.disparities).copy()
+    bad_disp[:, 1] = d_bg * 3.0
+    bad = occlusion_metrics(
+        LDI(textures=ldi.textures, disparities=jnp.asarray(bad_disp),
+            intrinsics=ldi.intrinsics), pose, gt, zbuffer_scale=100.0)
+    assert float(bad["occ_abs_rel"]) > 0.3
+
+
+def test_occlusion_psnr_reported():
+    ldi, _ = make_scene()
+    pose = transforms.translation_pose(np.array([[-0.5, 0, 0]], np.float32))
+    gt = jnp.full((1, 32, 64, 1), 0.1, jnp.float32)
+    trg = jnp.full((1, 32, 64, 3), 0.2, jnp.float32)  # bg gray everywhere
+    m = occlusion_metrics(ldi, pose, gt, trg_image=trg, zbuffer_scale=100.0)
+    # hidden layer carries the right gray -> high PSNR in the strip
+    assert float(m["occ_psnr"]) > 30.0
