@@ -21,6 +21,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.struct
@@ -131,6 +132,12 @@ def render_forward(ldi: LDI,
     payload = jnp.concatenate(
         [ldi.textures.astype(jnp.float32).reshape(b, l * h, w, 3),
          trg_disp], axis=-1)  # (B, L*H, W, 4)
+    if (use_pallas and jax.default_backend() != "tpu"
+            and not os.environ.get("LSI_TPU_FORCE_PALLAS")):
+        # The Pallas kernel is TPU-only; configs with use_pallas=True stay
+        # runnable on CPU/GPU via the lax path. Tests exercising the kernel
+        # in interpret mode set LSI_TPU_FORCE_PALLAS=1.
+        use_pallas = False
     if use_pallas:
         from lsi_tpu.kernels.splat_pallas import (DEFAULT_MAX_DX,
                                                   splat_pallas_diff)

@@ -163,8 +163,9 @@ def test_vjp_matches_lax_grads(rng):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
-def test_render_forward_use_pallas_matches(rng):
+def test_render_forward_use_pallas_matches(rng, monkeypatch):
     """render_forward(use_pallas=True) == lax path on a small LDI."""
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
     from jax.experimental.pallas import tpu as pltpu
     from lsi_tpu.geometry.ldi import LDI, render_forward
     from lsi_tpu.geometry import transforms
@@ -206,3 +207,22 @@ def test_matches_lax_three_layers(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_use_pallas_falls_back_off_tpu(rng):
+    """On a non-TPU backend use_pallas silently uses the lax path."""
+    import jax
+    from lsi_tpu.geometry.ldi import LDI, render_forward
+    from lsi_tpu.geometry import transforms
+    if jax.default_backend() == "tpu":
+        pytest.skip("running on TPU")
+    tex = jnp.asarray(rng.uniform(size=(1, 1, 8, 128, 3)), jnp.float32)
+    disp = jnp.full((1, 1, 8, 128, 1), 0.3, jnp.float32)
+    K = jnp.asarray(np.array([[40.0, 0, 63.5], [0, 40.0, 3.5], [0, 0, 1]],
+                             np.float32)[None])
+    ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+    pose = transforms.translation_pose(np.array([[-0.1, 0, 0]], np.float32))
+    out_p = render_forward(ldi, pose, use_pallas=True)   # falls back
+    out_l = render_forward(ldi, pose, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out_p["rgb"]),
+                               np.asarray(out_l["rgb"]), atol=1e-6)
