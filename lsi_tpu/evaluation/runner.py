@@ -105,6 +105,9 @@ def main(argv=None):
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE")
     ap.add_argument("--num_batches", type=int, default=16)
     ap.add_argument("--image_dir", default="")
+    ap.add_argument("--trajectory_gif", default="",
+                    help="also render a 60-view sweep of the first eval "
+                         "image to this GIF path")
     args = ap.parse_args(argv)
     cfg = get_config(args.config)
     for ov in args.set:
@@ -118,6 +121,21 @@ def main(argv=None):
                        args.image_dir or None)
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")
+
+    if args.trajectory_gif:
+        from lsi_tpu.data.pipeline import make_dataset
+        from lsi_tpu.evaluation.trajectory import render_trajectory
+        from lsi_tpu.evaluation.video import save_gif
+        from lsi_tpu.models.ldi_predictor import LDIPredictor
+
+        batch = next(make_dataset(cfg.data, seed=1, repeat=True))
+        model = LDIPredictor(cfg.model)
+        ldi = jax.jit(lambda p, im, k: model.apply({"params": p}, im, k))(
+            state.params, batch.src_image[:1], batch.intrinsics[:1])
+        frames = render_trajectory(
+            ldi, 60, max_translation=(0.15, 0.0, 0.0),
+            max_rotation=(0.0, 0.0, 0.01), render_cfg=cfg.render)
+        print(f"trajectory gif: {save_gif(frames, args.trajectory_gif)}")
 
 
 if __name__ == "__main__":
