@@ -21,3 +21,8 @@ def test_entry_signature():
     rgb, disp = shapes
     assert rgb.shape == (1, 256, 768, 3)
     assert disp.shape == (1, 2, 256, 768, 1)
+
+
+def test_dryrun_multichip_2():
+    import __graft_entry__ as g
+    g.dryrun_multichip(2)
