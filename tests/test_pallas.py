@@ -226,3 +226,23 @@ def test_use_pallas_falls_back_off_tpu(rng):
     out_l = render_forward(ldi, pose, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out_p["rgb"]),
                                np.asarray(out_l["rgb"]), atol=1e-6)
+
+
+def test_unaligned_shapes(rng):
+    """Odd sizes: width not a lane multiple, height forcing small blocks."""
+    n, l, h, w = 1, 2, 12, 96
+    hs = l * h
+    vals = jnp.asarray(rng.uniform(size=(n, hs, w, 3)), jnp.float32)
+    base_x = np.broadcast_to(np.arange(w, dtype=np.float32), (n, hs, w))
+    base_y = np.broadcast_to(
+        (np.arange(hs, dtype=np.float32)[:, None] % h), (n, hs, w))
+    dx = rng.uniform(-6, 6, (n, hs, w)).astype(np.float32)
+    dy = rng.uniform(-1, 1, (n, hs, w)).astype(np.float32)
+    coords = jnp.asarray(np.stack([base_x + dx, base_y + dy], -1))
+    wts = jnp.asarray(rng.uniform(0.1, 1.0, (n, hs, w, 1)), jnp.float32)
+    a_p, w_p = call_pallas(vals, coords, wts, (h, w), max_dx=8, max_dy=2)
+    a_l, w_l = splat_bilinear(vals, coords, wts, (h, w))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
+                               rtol=1e-5, atol=1e-5)
