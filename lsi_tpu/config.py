@@ -56,6 +56,8 @@ class DataConfig:
     augment: bool = True
     shuffle_buffer: int = 512
     prefetch: int = 2                # device-side double buffering depth.
+    kitti_pairs: str = "stereo"      # "stereo" | "temporal" (OXTS ego-motion)
+    temporal_stride: int = 1         # frame gap for temporal pairs.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,6 +60,43 @@ def stereo_params(calib: Dict[str, np.ndarray]) -> Tuple[np.ndarray, float]:
     return K, abs(baseline)
 
 
+def index_temporal(root: str, stride: int = 1) -> List[dict]:
+    """(frame t, frame t+stride) records of the left camera with OXTS poses
+    (temporal training pairs; requires oxts/ and the imu/velo calibs)."""
+    records = []
+    if not os.path.isdir(root):
+        return records
+    for date in sorted(os.listdir(root)):
+        date_dir = os.path.join(root, date)
+        calib_path = os.path.join(date_dir, "calib_cam_to_cam.txt")
+        have_imu = (os.path.exists(os.path.join(date_dir,
+                                                "calib_imu_to_velo.txt"))
+                    and os.path.exists(os.path.join(date_dir,
+                                                    "calib_velo_to_cam.txt")))
+        if not os.path.isdir(date_dir) or not os.path.exists(calib_path)                 or not have_imu:
+            continue
+        for drive in sorted(os.listdir(date_dir)):
+            ldir = os.path.join(date_dir, drive, "image_02", "data")
+            odir = os.path.join(date_dir, drive, "oxts", "data")
+            if not (os.path.isdir(ldir) and os.path.isdir(odir)):
+                continue
+            frames = sorted(f for f in os.listdir(ldir)
+                            if f.endswith(".png"))
+            for a, b in zip(frames, frames[stride:]):
+                oa = os.path.join(odir, a.replace(".png", ".txt"))
+                ob = os.path.join(odir, b.replace(".png", ".txt"))
+                if os.path.exists(oa) and os.path.exists(ob):
+                    records.append({
+                        "src": os.path.join(ldir, a),
+                        "trg": os.path.join(ldir, b),
+                        "oxts_src": oa,
+                        "oxts_trg": ob,
+                        "calib": calib_path,
+                        "date_dir": date_dir,
+                    })
+    return records
+
+
 def index_drives(root: str) -> List[dict]:
     """Find all (left_img, right_img, calib) frame records under root."""
     records = []
@@ -137,6 +174,10 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
     from lsi_tpu.geometry import projection as proj_np  # scale math only
     import jax.numpy as jnp  # noqa: F401  (scale_intrinsics is jnp-based)
 
+    if getattr(cfg, "kitti_pairs", "stereo") == "temporal":
+        yield from _temporal_stream(cfg, seed, repeat)
+        return
+
     records = index_drives(cfg.root)
     if not records:
         raise FileNotFoundError(
@@ -191,3 +232,63 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
         if not repeat:
             return
         epoch += 1
+
+
+def _temporal_stream(cfg: DataConfig, seed: int, repeat: bool
+                     ) -> Iterator[dict]:
+    """Temporal (same-camera) pairs with OXTS ego-motion poses."""
+    from lsi_tpu.geometry import projection as proj_np
+    from lsi_tpu.data import kitti_oxts
+
+    records = index_temporal(cfg.root, cfg.temporal_stride)
+    if not records:
+        raise FileNotFoundError(
+            f"no KITTI temporal records under {cfg.root!r} — needs "
+            "image_02, oxts/data and calib_imu_to_velo/velo_to_cam")
+    rng = np.random.default_rng(seed)
+    calib_cache: Dict[str, Tuple[np.ndarray, float]] = {}
+    imu_cache: Dict[str, np.ndarray] = {}
+    scale_cache: Dict[str, float] = {}
+    dims_cache: Dict[str, Tuple[int, int]] = {}
+
+    while True:
+        order = rng.permutation(len(records)) if cfg.augment else \
+            np.arange(len(records))
+        for i in order:
+            rec = records[i]
+            if rec["calib"] not in calib_cache:
+                calib_cache[rec["calib"]] = stereo_params(
+                    parse_calib_cam_to_cam(rec["calib"]))
+            K_full, _ = calib_cache[rec["calib"]]
+            if rec["date_dir"] not in imu_cache:
+                imu_cache[rec["date_dir"]] = kitti_oxts.cam_from_imu(
+                    rec["date_dir"])
+
+            oxts_src = kitti_oxts.load_oxts(rec["oxts_src"])
+            oxts_trg = kitti_oxts.load_oxts(rec["oxts_trg"])
+            drive = os.path.dirname(rec["oxts_src"])
+            if drive not in scale_cache:
+                scale_cache[drive] = kitti_oxts.mercator_scale(oxts_src)
+            pose = kitti_oxts.relative_camera_pose(
+                oxts_src, oxts_trg, imu_cache[rec["date_dir"]],
+                scale_cache[drive])
+
+            src, trg, (oh, ow) = _load_stereo_pair(
+                rec["src"], rec["trg"], cfg.height, cfg.width, dims_cache)
+            K = np.asarray(proj_np.scale_intrinsics(
+                K_full[None], cfg.width / ow, cfg.height / oh))[0]
+            if cfg.augment:
+                src, trg = _photometric_augment(rng, src, trg)
+
+            yield {
+                "src_image": src,
+                "trg_image": trg,
+                "intrinsics": K.astype(np.float32),
+                "pose_src2trg": pose,
+                "gt_disparity": np.zeros(
+                    (cfg.height, cfg.width, 1), np.float32),
+                "gt_valid": np.zeros(
+                    (cfg.height, cfg.width, 1), np.float32),
+            }
+        if not repeat:
+            return

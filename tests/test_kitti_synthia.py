@@ -113,3 +113,60 @@ def test_missing_roots_raise():
                      width=8, batch_size=1)
     with pytest.raises(Exception):
         next(iter(kitti.example_stream(cfg, 0, False)))
+
+
+def _write_oxts_tree(root, n_frames=3, forward_per_frame=1.0):
+    """Extend the fake KITTI tree with OXTS + imu/velo calibs: the car
+    drives straight 'north' (lat increasing) with identity attitude."""
+    import numpy as np
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    odir = root / date / drive / "oxts" / "data"
+    os.makedirs(str(odir), exist_ok=True)
+    lat0 = 49.0
+    # meters -> degrees latitude: with the devkit's scale = cos(lat0), the
+    # Mercator y displacement is ~R * dlat_rad near lat0.
+    from lsi_tpu.data.kitti_oxts import EARTH_RADIUS
+    for i in range(n_frames):
+        dlat = np.rad2deg(i * forward_per_frame / EARTH_RADIUS)
+        vals = [lat0 + dlat, 8.43, 110.0, 0.0, 0.0, np.pi / 2] + [0.0] * 24
+        (odir / f"{i:010d}.txt").write_text(
+            " ".join(f"{v:.12f}" for v in vals))
+    # identity imu->velo->cam chain for a clean analytic check
+    (root / date / "calib_imu_to_velo.txt").write_text(
+        "R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+    (root / date / "calib_velo_to_cam.txt").write_text(
+        "R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+
+
+def test_kitti_temporal_pairs(kitti_root, tmp_path):
+    import pathlib
+    _write_oxts_tree(pathlib.Path(kitti_root))
+    cfg = DataConfig(dataset="kitti", root=kitti_root, height=32, width=96,
+                     batch_size=2, augment=False, kitti_pairs="temporal",
+                     temporal_stride=1)
+    it = make_dataset(cfg, seed=0, repeat=False)
+    batch = next(it)
+    assert batch.src_image.shape == (2, 32, 96, 3)
+    pose = np.asarray(batch.pose_src2trg)[0]
+    # Heading yaw=pi/2 means the IMU x-axis (forward) points along world-y
+    # (north); the car moves 1 m/frame north => in the (identity-calib)
+    # camera frame the motion is 1 m along camera x. Points of frame t map
+    # into frame t+1 shifted by -1 m along x.
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(pose[:3, 3], [-1.0, 0.0, 0.0], atol=1e-3)
+
+
+def test_oxts_pose_math_rotation():
+    """Pure yaw change between frames -> pure rotation in the cam frame."""
+    import numpy as np
+    from lsi_tpu.data import kitti_oxts
+    o0 = np.array([49.0, 8.43, 110.0, 0.0, 0.0, 0.0] + [0.0] * 24)
+    o1 = o0.copy()
+    o1[5] = 0.1  # yaw by 0.1 rad, no translation
+    T = kitti_oxts.relative_camera_pose(
+        o0, o1, np.eye(4), kitti_oxts.mercator_scale(o0))
+    np.testing.assert_allclose(T[:3, 3], 0.0, atol=1e-6)
+    # R should be Rz(-0.1) (t1 frame sees t0 points rotated back)
+    ang = np.arctan2(T[1, 0], T[0, 0])
+    np.testing.assert_allclose(ang, -0.1, atol=1e-8)
