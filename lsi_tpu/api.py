@@ -57,7 +57,15 @@ def render(ldi: LDI, pose: jnp.ndarray,
         ldi, pose, K_trg=K_trg, out_hw=out_hw,
         zbuffer_scale=config.zbuffer_scale,
         splat_method=config.splat_method,
-        use_pallas=config.use_pallas)
+        use_pallas=config.use_pallas,
+        pallas_max_dy=config.pallas_max_dy,
+        check_window=config.window_check)
+    frac = out["window_dropped_frac"]
+    if config.window_check and not isinstance(frac, jax.core.Tracer):
+        # Eager call: the diagnostic is concrete — warn on truncation here.
+        # Under jit the caller owns the returned scalar (see render_forward).
+        from lsi_tpu.geometry.ldi import warn_window_drop
+        warn_window_drop(frac, config.pallas_max_dy)
     return out["rgb"]
 
 

@@ -14,6 +14,7 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
+    family: str = "ldi"             # "ldi" | "mpi" (layered-planes baseline).
     num_layers: int = 2             # L: LDI layers predicted.
     base_filters: int = 32          # encoder width at full resolution.
     num_scales: int = 5             # encoder downsamplings (UNet depth).
@@ -21,16 +22,23 @@ class ModelConfig:
     max_disparity: float = 1.0
     layer0_texture_from_input: bool = True  # layer-0 RGB = input passthrough.
     compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32).
+    # MPI-family knobs (ignored for family="ldi"):
+    num_planes: int = 16            # D fronto-parallel planes.
+    min_depth: float = 1.0          # nearest plane depth (m).
+    max_depth: float = 100.0        # farthest plane depth (m).
 
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     zbuffer_scale: float = 50.0     # soft z-buffer sharpness (1/temperature).
     splat_method: str = "scatter"   # "scatter" | "sort" (lax paths).
-    use_pallas: bool = False        # MXU one-hot Pallas splat kernel.
+    use_pallas: str = "auto"        # "auto" (MXU Pallas splat kernel on TPU,
+                                    # lax elsewhere) | "on" | "off".
     pallas_max_dy: int = 2          # vertical splat window (rows); rectified
                                     # stereo needs <=1; raise (e.g. 16) for
                                     # trajectory sweeps with rotation.
+    window_check: bool = True       # warn loudly if the dy window drops
+                                    # content (geometry.ldi._warn_window_drop)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +62,10 @@ class DataConfig:
     width: int = 768
     batch_size: int = 8              # global batch (split across data mesh).
     augment: bool = True
+    split: str = "all"               # "train" | "val" | "all"; the val split
+                                     # holds out whole drives/sequences (or a
+                                     # disjoint seed range for synthetic).
+    val_fraction: float = 0.1        # fraction of groups held out as val.
     shuffle_buffer: int = 512
     prefetch: int = 2                # device-side double buffering depth.
     kitti_pairs: str = "stereo"      # "stereo" | "temporal" (OXTS ego-motion)

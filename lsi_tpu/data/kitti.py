@@ -183,6 +183,13 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
         raise FileNotFoundError(
             f"no KITTI records under {cfg.root!r} — expected "
             "<root>/<date>/<date>_drive_*_sync/image_0{2,3}/data/*.png")
+    # Hold out whole drives so adjacent near-duplicate frames never leak
+    # between train and val.
+    from lsi_tpu.data.splits import split_records
+    records = split_records(
+        records, lambda r: os.path.dirname(os.path.dirname(
+            os.path.dirname(r["left"]))),
+        cfg.split, cfg.val_fraction)
     rng = np.random.default_rng(seed)
     calib_cache: Dict[str, Tuple[np.ndarray, float]] = {}
     dims_cache_img: Dict[str, Tuple[int, int]] = {}
@@ -245,6 +252,11 @@ def _temporal_stream(cfg: DataConfig, seed: int, repeat: bool
         raise FileNotFoundError(
             f"no KITTI temporal records under {cfg.root!r} — needs "
             "image_02, oxts/data and calib_imu_to_velo/velo_to_cam")
+    from lsi_tpu.data.splits import split_records
+    records = split_records(
+        records, lambda r: os.path.dirname(os.path.dirname(
+            os.path.dirname(r["src"]))),
+        cfg.split, cfg.val_fraction)
     rng = np.random.default_rng(seed)
     calib_cache: Dict[str, Tuple[np.ndarray, float]] = {}
     imu_cache: Dict[str, np.ndarray] = {}

@@ -31,12 +31,21 @@ class Batch:
     pose_src2trg: jnp.ndarray    # (B, 4, 4)
     gt_disparity: Optional[jnp.ndarray] = None   # (B, H, W, 1) or None
     gt_valid: Optional[jnp.ndarray] = None       # (B, H, W, 1) or None
+    # Target-view GT (SYNTHIA right-camera depth / synthetic analytic):
+    # enables the occluded-region eval — rendered-depth accuracy on pixels
+    # only the LDI's deeper layers can explain (SURVEY.md §3.4).
+    trg_gt_disparity: Optional[jnp.ndarray] = None  # (B, H, W, 1) or None
+    trg_gt_valid: Optional[jnp.ndarray] = None      # (B, H, W, 1) or None
 
 
 def _example_stream(cfg: DataConfig, seed: int, repeat: bool):
     """Infinite (or single-pass) stream of single-example dicts."""
     if cfg.dataset == "synthetic":
         from lsi_tpu.data import synthetic
+        # The synthetic train/val "split" is a disjoint seed range: val
+        # scenes are drawn from generator streams a train run never visits.
+        if cfg.split == "val":
+            seed = seed + 0x5EED_0FF5
         epoch = 0
         while True:
             rng = np.random.default_rng(seed + epoch)
@@ -49,6 +58,9 @@ def _example_stream(cfg: DataConfig, seed: int, repeat: bool):
                     "pose_src2trg": s.pose_src2trg,
                     "gt_disparity": s.gt_visible_disparity[..., None],
                     "gt_valid": np.ones(
+                        (cfg.height, cfg.width, 1), np.float32),
+                    "trg_gt_disparity": s.gt_trg_disparity[..., None],
+                    "trg_gt_valid": np.ones(
                         (cfg.height, cfg.width, 1), np.float32),
                 }
             if not repeat:
@@ -91,6 +103,7 @@ class _Prefetcher:
         self._sem_space = threading.Semaphore(depth)
         self._sem_items = threading.Semaphore(0)
         self._done = False
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -103,12 +116,20 @@ class _Prefetcher:
             lambda x: jax.device_put(x) if x is not None else None, batch)
 
     def _fill(self):
-        for batch in self._it:
-            self._sem_space.acquire()
-            self._q.append(self._put(batch))
+        # Any worker-side failure (bad dataset root, corrupt image, device
+        # transfer error) must surface in the consumer, not hang it: record
+        # the exception and ALWAYS release the item semaphore on exit so
+        # __next__ wakes up and re-raises.
+        try:
+            for batch in self._it:
+                self._sem_space.acquire()
+                self._q.append(self._put(batch))
+                self._sem_items.release()
+        except BaseException as e:  # noqa: BLE001 — propagated to consumer
+            self._error = e
+        finally:
+            self._done = True
             self._sem_items.release()
-        self._done = True
-        self._sem_items.release()
 
     def __iter__(self):
         return self
@@ -116,6 +137,11 @@ class _Prefetcher:
     def __next__(self) -> Batch:
         self._sem_items.acquire()
         if not self._q:
+            # Terminal state (exhausted or failed): keep it re-raisable on
+            # every subsequent call instead of blocking forever.
+            self._sem_items.release()
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         item = self._q.popleft()
         self._sem_space.release()

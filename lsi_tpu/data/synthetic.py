@@ -27,6 +27,8 @@ class SyntheticScene:
     pose_src2trg: np.ndarray   # (4, 4) float32
     gt_disparity_layers: np.ndarray  # (2, H, W) float32 (fg-visible, bg)
     gt_visible_disparity: np.ndarray  # (H, W) float32 (layer-0 / nearest)
+    gt_trg_disparity: np.ndarray  # (H, W) float32 — visible disparity IN
+                                  # THE TARGET VIEW (occluded-region eval)
 
 
 def _texture(rng: np.random.Generator, h: int, w: int, cells: int = 8):
@@ -104,8 +106,8 @@ def make_scene(rng: np.random.Generator, height: int, width: int,
 
     src_img, src_disp = _render_view(bg_tex, fg_tex, box, bg_depth, fg_depth,
                                      K, 0.0, h, w)
-    trg_img, _ = _render_view(bg_tex, fg_tex, box, bg_depth, fg_depth,
-                              K, baseline, h, w)
+    trg_img, trg_disp = _render_view(bg_tex, fg_tex, box, bg_depth, fg_depth,
+                                     K, baseline, h, w)
 
     # src -> trg pose: target camera at +baseline along x means points move
     # by -baseline in the target frame.
@@ -117,7 +119,7 @@ def make_scene(rng: np.random.Generator, height: int, width: int,
     return SyntheticScene(
         src_image=src_img, trg_image=trg_img, intrinsics=K,
         pose_src2trg=pose, gt_disparity_layers=gt_layers,
-        gt_visible_disparity=src_disp)
+        gt_visible_disparity=src_disp, gt_trg_disparity=trg_disp)
 
 
 def generate(seed: int, height: int, width: int, count: int):

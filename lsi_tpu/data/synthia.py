@@ -44,6 +44,7 @@ def index_sequences(root: str) -> List[dict]:
         ldir = os.path.join(seq, "RGB", "Stereo_Left", "Omni_F")
         rdir = os.path.join(seq, "RGB", "Stereo_Right", "Omni_F")
         ddir = os.path.join(seq, "Depth", "Stereo_Left", "Omni_F")
+        drdir = os.path.join(seq, "Depth", "Stereo_Right", "Omni_F")
         if not os.path.isdir(ldir) or not os.path.isdir(rdir):
             continue
         for fname in sorted(os.listdir(ldir)):
@@ -53,6 +54,9 @@ def index_sequences(root: str) -> List[dict]:
                 "left": os.path.join(ldir, fname),
                 "right": os.path.join(rdir, fname),
                 "depth": os.path.join(ddir, fname),
+                # right-camera GT depth = target-view GT for the
+                # occluded-region evaluation (SURVEY.md §3.4)
+                "depth_right": os.path.join(drdir, fname),
             }
             if os.path.exists(rec["right"]):
                 records.append(rec)
@@ -97,6 +101,12 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
         raise FileNotFoundError(
             f"no SYNTHIA records under {cfg.root!r} — expected "
             "<root>/SYNTHIA-SEQS-*/RGB/Stereo_Left/Omni_F/*.png")
+    # Hold out whole sequences (frame-level splits would leak near-dupes).
+    from lsi_tpu.data.splits import split_records
+    records = split_records(
+        records, lambda r: os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.dirname(r["left"])))),
+        cfg.split, cfg.val_fraction)
     rng = np.random.default_rng(seed)
 
     K = np.asarray(proj.scale_intrinsics(
@@ -114,21 +124,27 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
             pose = np.eye(4, dtype=np.float32)
             pose[0, 3] = -BASELINE_M
 
-            if os.path.exists(rec["depth"]):
-                depth = _load_depth_m(rec["depth"], cfg.height, cfg.width)
+            def depth_to_disp(path):
+                if not os.path.exists(path):
+                    return (np.zeros((cfg.height, cfg.width), np.float32),
+                            np.zeros((cfg.height, cfg.width), bool))
+                depth = _load_depth_m(path, cfg.height, cfg.width)
                 valid = (depth > 0.1) & (depth < 1000.0)
-                disp = np.where(valid, 1.0 / np.maximum(depth, 0.1), 0.0)
-            else:
-                disp = np.zeros((cfg.height, cfg.width), np.float32)
-                valid = np.zeros((cfg.height, cfg.width), bool)
+                return (np.where(valid, 1.0 / np.maximum(depth, 0.1),
+                                 0.0).astype(np.float32), valid)
+
+            disp, valid = depth_to_disp(rec["depth"])
+            trg_disp, trg_valid = depth_to_disp(rec.get("depth_right", ""))
 
             yield {
                 "src_image": left,
                 "trg_image": right,
                 "intrinsics": K,
                 "pose_src2trg": pose,
-                "gt_disparity": disp[..., None].astype(np.float32),
+                "gt_disparity": disp[..., None],
                 "gt_valid": valid[..., None].astype(np.float32),
+                "trg_gt_disparity": trg_disp[..., None],
+                "trg_gt_valid": trg_valid[..., None].astype(np.float32),
             }
         if not repeat:
             return

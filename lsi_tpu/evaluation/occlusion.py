@@ -25,14 +25,17 @@ from lsi_tpu.geometry.ldi import LDI, render_forward
 
 def disocclusion_mask(ldi: LDI, pose_src2trg: jnp.ndarray,
                       out_hw=None, zbuffer_scale: float = 50.0,
-                      use_pallas: bool = False) -> jnp.ndarray:
+                      use_pallas="auto",
+                      pallas_max_dy: int = 2) -> jnp.ndarray:
     """(B, Ho, Wo, 1) float mask of target pixels NOT covered by layer 0."""
     layer0 = LDI(textures=ldi.textures[:, :1],
                  disparities=ldi.disparities[:, :1],
                  intrinsics=ldi.intrinsics)
     cov0 = render_forward(layer0, pose_src2trg, out_hw=out_hw,
                           zbuffer_scale=zbuffer_scale,
-                          use_pallas=use_pallas)["coverage"]
+                          use_pallas=use_pallas,
+                          pallas_max_dy=pallas_max_dy,
+                          check_window=False)["coverage"]
     return (cov0 <= 0).astype(jnp.float32)
 
 
@@ -41,7 +44,8 @@ def occlusion_metrics(ldi: LDI, pose_src2trg: jnp.ndarray,
                       trg_gt_valid: Optional[jnp.ndarray] = None,
                       trg_image: Optional[jnp.ndarray] = None,
                       zbuffer_scale: float = 50.0,
-                      use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
+                      use_pallas="auto",
+                      pallas_max_dy: int = 2) -> Dict[str, jnp.ndarray]:
     """Depth (and optionally photometric) accuracy on disoccluded pixels.
 
     Args:
@@ -57,10 +61,13 @@ def occlusion_metrics(ldi: LDI, pose_src2trg: jnp.ndarray,
     out_hw = trg_gt_disparity.shape[1:3]
     out = render_forward(ldi, pose_src2trg, out_hw=out_hw,
                          zbuffer_scale=zbuffer_scale,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas,
+                         pallas_max_dy=pallas_max_dy,
+                         check_window=False)
     disocc = disocclusion_mask(ldi, pose_src2trg, out_hw=out_hw,
                                zbuffer_scale=zbuffer_scale,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               pallas_max_dy=pallas_max_dy)
     covered = (out["coverage"] > 0).astype(jnp.float32)
     mask = disocc * covered
     if trg_gt_valid is not None:

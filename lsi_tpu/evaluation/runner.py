@@ -37,28 +37,54 @@ def build_eval_step(cfg: Config):
             zbuffer_scale=cfg.render.zbuffer_scale,
             splat_method=cfg.render.splat_method,
             use_pallas=cfg.render.use_pallas,
-            pallas_max_dy=cfg.render.pallas_max_dy)
+            pallas_max_dy=cfg.render.pallas_max_dy,
+            check_window=cfg.render.window_check)
         covered = (out["coverage"] > 0).astype(jnp.float32)
         metrics = {
             "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),
             "psnr_full": psnr(out["rgb"], batch.trg_image),
             "ssim": ssim(out["rgb"] * covered, batch.trg_image * covered),
             "coverage": jnp.mean(covered),
+            "window_dropped_frac": out["window_dropped_frac"],
         }
         if batch.gt_disparity is not None and batch.gt_valid is not None:
             metrics.update(depth_metrics(
                 ldi.disparities[:, 0], batch.gt_disparity, batch.gt_valid))
+        if batch.trg_gt_disparity is not None:
+            # Occluded-region eval (the test of the *layered* part):
+            # rendered-depth / photometric accuracy on target pixels only
+            # the deeper layers can explain (SURVEY.md §3.4).
+            from lsi_tpu.evaluation.occlusion import occlusion_metrics
+            metrics.update(occlusion_metrics(
+                ldi, batch.pose_src2trg, batch.trg_gt_disparity,
+                trg_gt_valid=batch.trg_gt_valid,
+                trg_image=batch.trg_image,
+                zbuffer_scale=cfg.render.zbuffer_scale,
+                use_pallas=cfg.render.use_pallas,
+                pallas_max_dy=cfg.render.pallas_max_dy))
         return metrics, out["rgb"], ldi
 
     return eval_step
 
 
+def eval_data_config(data_cfg):
+    """The held-out evaluation view of a training data config.
+
+    Evaluation must see unaugmented, held-out data: photometric jitter and
+    left/right swaps would corrupt the reported PSNR/SSIM, and measuring on
+    the training split would not test generalization (the reference
+    evaluated on held-out pairs — SURVEY.md §3.4).
+    """
+    import dataclasses
+    return dataclasses.replace(data_cfg, augment=False, split="val")
+
+
 def evaluate(cfg: Config, params, num_batches: int = 16,
              image_dir: Optional[str] = None,
              seed: int = 1234) -> Dict[str, float]:
-    """Run evaluation; returns averaged metrics."""
+    """Run evaluation on the held-out split; returns averaged metrics."""
     eval_step = build_eval_step(cfg)
-    it = make_dataset(cfg.data, seed=seed, repeat=True)
+    it = make_dataset(eval_data_config(cfg.data), seed=seed, repeat=True)
     sums: Dict[str, float] = {}
     for i in range(num_batches):
         batch = next(it)
@@ -67,7 +93,12 @@ def evaluate(cfg: Config, params, num_batches: int = 16,
             sums[k] = sums.get(k, 0.0) + float(v)
         if image_dir is not None and i == 0:
             export_image_grid(batch, rendered, ldi, image_dir)
-    return {k: v / num_batches for k, v in sums.items()}
+    results = {k: v / num_batches for k, v in sums.items()}
+    if "window_dropped_frac" in results:
+        from lsi_tpu.geometry.ldi import warn_window_drop
+        warn_window_drop(results["window_dropped_frac"],
+                         cfg.render.pallas_max_dy)
+    return results
 
 
 def export_image_grid(batch, rendered, ldi, out_dir: str,

@@ -22,16 +22,92 @@ TPU-first design notes:
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Optional
 
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lsi_tpu.geometry import projection
 from lsi_tpu.ops.gather import bilinear_sample
-from lsi_tpu.ops.splat import splat_bilinear
+from lsi_tpu.ops.splat import snap_fraction, splat_bilinear
 from lsi_tpu.utils.helpers import divide_safe
+
+
+def resolve_use_pallas(flag) -> bool:
+    """Resolve a use_pallas config value ("auto" | "on" | "off" | bool).
+
+    "auto" (the default) selects the fused Pallas splat kernel whenever the
+    backend is TPU — it is the production path there (the XLA scatter this
+    replaces executes serialized at ~16M updates/s on v5e, 70x slower; see
+    docs/perf.md) — and the exact lax path elsewhere. An explicit "on"/True
+    off-TPU additionally honors LSI_TPU_FORCE_PALLAS=1, which tests use to
+    exercise the kernel on CPU in interpret mode.
+    """
+    if flag in (False, "off"):
+        return False
+    if flag == "auto":
+        return jax.default_backend() == "tpu"
+    if flag not in (True, "on"):
+        raise ValueError(
+            f"use_pallas must be 'auto'|'on'|'off'|bool, got {flag!r}")
+    return (jax.default_backend() == "tpu"
+            or bool(os.environ.get("LSI_TPU_FORCE_PALLAS")))
+
+
+def _window_dropped_fraction(trg_coords: jnp.ndarray, valid: jnp.ndarray,
+                             out_hw, max_dy: int) -> jnp.ndarray:
+    """Fraction of valid, in-image splat contributions the Pallas kernel's
+    static dy window would drop (scalar, f32, jit-safe).
+
+    Counts the vertical-tent mass falling outside [-max_dy, max_dy + 1] rows
+    of each source pixel's base row, over pixels that are valid and land
+    horizontally inside the (padding-tracked) image.
+    """
+    out_h, out_w = out_hw
+    hs = trg_coords.shape[1]
+    x = trg_coords[..., 0].astype(jnp.float32)
+    y = trg_coords[..., 1].astype(jnp.float32)
+    y0 = jnp.floor(y)
+    fy = snap_fraction(y - y0)
+    base_row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
+    ky = y0 - base_row
+    kept = ((1.0 - fy) * ((ky >= -max_dy) & (ky <= max_dy + 1))
+            + fy * ((ky + 1 >= -max_dy) & (ky + 1 <= max_dy + 1)))
+    relevant = (valid[..., 0] > 0) & (x > -1.0) & (x < out_w)
+    rel = relevant.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(rel), 1.0)
+    return jnp.sum(rel * (1.0 - kept)) / total
+
+
+WINDOW_DROP_TOL = 1e-4
+
+
+def warn_window_drop(frac, max_dy=None, tol: float = WINDOW_DROP_TOL) -> bool:
+    """Host-side guard: warn loudly when the dy window truncated content.
+
+    ``frac`` must be a CONCRETE value (the ``window_dropped_frac`` output of
+    :func:`render_forward`, materialized). This is deliberately NOT a
+    ``jax.debug.callback`` — the axon PJRT backend does not support host
+    callbacks, so the diagnostic rides the render outputs as a regular
+    on-device scalar and callers warn after pulling it to the host (the
+    eager API, the Trainer's log step, the eval runner).
+
+    Returns True iff a warning was emitted.
+    """
+    frac = float(np.max(np.asarray(frac)))
+    if frac > tol:
+        extra = f" (pallas_max_dy={max_dy})" if max_dy is not None else ""
+        warnings.warn(
+            f"Pallas splat dy-window{extra} dropped {frac:.4%} of valid "
+            "splat contributions — the render is missing content. Raise "
+            "render.pallas_max_dy (size it with "
+            "kernels.splat_pallas.required_window) or set "
+            "render.use_pallas='off'.", RuntimeWarning)
+        return True
+    return False
 
 
 @flax.struct.dataclass
@@ -72,8 +148,9 @@ def render_forward(ldi: LDI,
                    zbuffer_scale: float = 50.0,
                    max_disparity: float = 1.0,
                    splat_method: str = "scatter",
-                   use_pallas: bool = False,
-                   pallas_max_dy: int = 2):
+                   use_pallas="auto",
+                   pallas_max_dy: int = 2,
+                   check_window: bool = True):
     """Render an LDI into a novel view by forward splatting.
 
     Args:
@@ -87,11 +164,21 @@ def render_forward(ldi: LDI,
         dynamic per-image shift that cancels in the composite); kept for
         signature stability.
       splat_method: "scatter" | "sort" (see ops/splat.py).
-      use_pallas: route the splat through the fused Pallas TPU kernel.
+      use_pallas: "auto" (Pallas on TPU, lax elsewhere — the default),
+        "on"/True, or "off"/False; see :func:`resolve_use_pallas`.
+      pallas_max_dy: static vertical splat window of the Pallas kernel.
+      check_window: when the Pallas path is taken, also compute the
+        fraction of valid content the dy window drops and return it as
+        ``window_dropped_frac`` — over-rotated poses become observable
+        instead of silently truncating (callers warn via
+        :func:`warn_window_drop`; host callbacks are unsupported on axon).
     Returns dict with:
       rgb:       (B, Ho, Wo, 3) composited target image (f32).
       disparity: (B, Ho, Wo, 1) composited target inverse depth.
       coverage:  (B, Ho, Wo, 1) accumulated splat weight (0 = hole).
+      window_dropped_frac: () f32 — fraction of valid in-image splat
+        contributions dropped by the Pallas dy window (always 0.0 on the
+        exact lax path).
     """
     b, l, h, w, _ = ldi.textures.shape
     if K_trg is None:
@@ -132,15 +219,21 @@ def render_forward(ldi: LDI,
     payload = jnp.concatenate(
         [ldi.textures.astype(jnp.float32).reshape(b, l * h, w, 3),
          trg_disp], axis=-1)  # (B, L*H, W, 4)
-    if (use_pallas and jax.default_backend() != "tpu"
-            and not os.environ.get("LSI_TPU_FORCE_PALLAS")):
-        # The Pallas kernel is TPU-only; configs with use_pallas=True stay
-        # runnable on CPU/GPU via the lax path. Tests exercising the kernel
-        # in interpret mode set LSI_TPU_FORCE_PALLAS=1.
+    use_pallas = resolve_use_pallas(use_pallas)
+    if use_pallas and tuple(out_hw) != (h, w):
+        # The kernel's folded-row contract (source row r belongs to target
+        # base row r % out_h, dy window measured from there) only holds when
+        # the output grid matches the LDI's; resampling renders take the
+        # exact lax path instead of silently windowing against wrong rows.
         use_pallas = False
+    dropped = jnp.zeros((), jnp.float32)
     if use_pallas:
         from lsi_tpu.kernels.splat_pallas import (DEFAULT_MAX_DX,
                                                   splat_pallas_diff)
+        if check_window:
+            dropped = _window_dropped_fraction(
+                jax.lax.stop_gradient(trg_coords),
+                jax.lax.stop_gradient(valid), out_hw, pallas_max_dy)
         accum, wsum = splat_pallas_diff(
             payload, trg_coords, weights,
             out_hw, DEFAULT_MAX_DX, pallas_max_dy, 32)
@@ -155,6 +248,7 @@ def render_forward(ldi: LDI,
         "rgb": out[..., :3],
         "disparity": out[..., 3:4],
         "coverage": wsum,
+        "window_dropped_frac": dropped,
     }
 
 

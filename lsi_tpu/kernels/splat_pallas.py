@@ -142,6 +142,11 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     """
     out_h, out_w = out_hw
     n, hs, ws, c = values.shape
+    if hs % out_h:
+        raise ValueError(
+            f"folded-row contract violated: source rows {hs} must be a "
+            f"multiple of out_h {out_h} (layers folded into the row axis; "
+            "a source row r splats around target base row r % out_h)")
     while hs % block_rows or out_h % block_rows:
         block_rows //= 2  # shrink to a common divisor (powers of two)
     if block_rows < 1:

@@ -68,12 +68,17 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
 def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
                          pose_src2trg: jnp.ndarray,
                          render_cfg: RenderConfig,
-                         K_trg=None, ssim_weight: float = 0.0) -> jnp.ndarray:
+                         K_trg=None, ssim_weight: float = 0.0,
+                         return_diag: bool = False):
     """Scatter-direction photometric loss on the soft-z composite render.
 
     With ``ssim_weight`` alpha > 0, uses the monodepth-style mix
     alpha * (1 - SSIM)/2 + (1 - alpha) * charbonnier (structure-aware term
     on top of the reference's plain photometric loss).
+
+    With ``return_diag``, returns (loss, diagnostics) where diagnostics
+    carries the render's ``window_dropped_frac`` (Pallas dy-window safety
+    signal, surfaced in the Trainer's metrics).
     """
     out = render_forward(
         ldi, pose_src2trg, K_trg=K_trg,
@@ -81,7 +86,8 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
         zbuffer_scale=render_cfg.zbuffer_scale,
         splat_method=render_cfg.splat_method,
         use_pallas=render_cfg.use_pallas,
-        pallas_max_dy=render_cfg.pallas_max_dy)
+        pallas_max_dy=render_cfg.pallas_max_dy,
+        check_window=render_cfg.window_check)
     covered = (out["coverage"] > 0).astype(jnp.float32)
     trg32 = target_image.astype(jnp.float32)
     err = jnp.mean(_charbonnier(out["rgb"] - trg32), axis=-1, keepdims=True)
@@ -89,7 +95,9 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
     if ssim_weight > 0.0:
         from lsi_tpu.evaluation.metrics import ssim
         structural = (1.0 - ssim(out["rgb"] * covered, trg32 * covered)) / 2.0
-        return ssim_weight * structural + (1.0 - ssim_weight) * photo
+        photo = ssim_weight * structural + (1.0 - ssim_weight) * photo
+    if return_diag:
+        return photo, {"window_dropped_frac": out["window_dropped_frac"]}
     return photo
 
 
@@ -125,8 +133,13 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
                loss_cfg: LossConfig, render_cfg: RenderConfig,
                K_trg=None, gt_disparity=None,
                gt_valid=None) -> Dict[str, jnp.ndarray]:
-    """Assemble the configured training loss; returns {"total", parts...}."""
+    """Assemble the configured training loss; returns {"total", parts...}.
+
+    Diagnostics (e.g. ``window_dropped_frac``) ride along in the returned
+    dict but are NOT summed into "total".
+    """
     parts = {}
+    diags = {}
     if loss_cfg.photo_mode in ("inverse_warp", "both"):
         parts["photo_inverse_warp"] = (
             loss_cfg.inverse_warp_weight
@@ -134,11 +147,11 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
                 ldi, target_image, pose_src2trg, K_trg,
                 min_over_layers=loss_cfg.min_over_layers))
     if loss_cfg.photo_mode in ("splat", "both"):
-        parts["photo_splat"] = (
-            loss_cfg.splat_weight
-            * view_synthesis_splat(ldi, target_image, pose_src2trg,
-                                   render_cfg, K_trg,
-                                   ssim_weight=loss_cfg.ssim_weight))
+        splat_loss, diag = view_synthesis_splat(
+            ldi, target_image, pose_src2trg, render_cfg, K_trg,
+            ssim_weight=loss_cfg.ssim_weight, return_diag=True)
+        parts["photo_splat"] = loss_cfg.splat_weight * splat_loss
+        diags.update(diag)
     if loss_cfg.smoothness_weight > 0:
         parts["smoothness"] = (
             loss_cfg.smoothness_weight
@@ -149,5 +162,65 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
         parts["depth_supervision"] = (
             loss_cfg.depth_supervision_weight
             * depth_supervision(ldi, gt_disparity, gt_valid))
+    parts["total"] = sum(parts.values())
+    parts.update(diags)
+    return parts
+
+
+def mpi_smoothness(disp: jnp.ndarray, image: jnp.ndarray,
+                   edge_aware: bool = True) -> jnp.ndarray:
+    """First-order smoothness on the MPI's expected source disparity,
+    edge-aware against the input image (same idiom as the LDI term)."""
+    d = disp[..., 0]  # (B, H, W)
+    dx = jnp.abs(d[:, :, 1:] - d[:, :, :-1])
+    dy = jnp.abs(d[:, 1:, :] - d[:, :-1, :])
+    if edge_aware:
+        img = image.astype(jnp.float32)
+        gx = jnp.mean(jnp.abs(img[:, :, 1:] - img[:, :, :-1]), -1)
+        gy = jnp.mean(jnp.abs(img[:, 1:, :] - img[:, :-1, :]), -1)
+        dx = dx * jnp.exp(-10.0 * gx)
+        dy = dy * jnp.exp(-10.0 * gy)
+    return jnp.mean(dx) + jnp.mean(dy)
+
+
+def mpi_total_loss(mpi, src_image: jnp.ndarray, target_image: jnp.ndarray,
+                   pose_src2trg: jnp.ndarray,
+                   loss_cfg: LossConfig, K_trg=None,
+                   gt_disparity=None, gt_valid=None,
+                   alpha_coverage_weight: float = 1.0
+                   ) -> Dict[str, jnp.ndarray]:
+    """Training loss for the layered-planes (MPI) baseline experiment.
+
+    Capability parity with the reference's plane-based baseline experiments
+    (SURVEY.md §2 Experiments row): photometric view synthesis on the
+    homography-warped over-composite, plus an opacity-coverage term (the
+    composite must explain the whole target; without it the trivial
+    all-transparent MPI zeroes the photometric gradient) and edge-aware
+    smoothness on the expected source disparity. Gather-only — no scatter
+    anywhere, so this path needs no Pallas kernel on TPU.
+    """
+    from lsi_tpu.models.mpi import mpi_source_disparity, render_mpi
+
+    out = render_mpi(mpi, pose_src2trg, K_trg=K_trg,
+                     out_hw=target_image.shape[1:3])
+    trg32 = target_image.astype(jnp.float32)
+    err = jnp.mean(_charbonnier(out["rgb"] - trg32), axis=-1, keepdims=True)
+
+    parts = {}
+    parts["photo_mpi"] = loss_cfg.splat_weight * jnp.mean(err)
+    # Opacity backstop: accumulated alpha ~ 1 where the target is observed.
+    parts["alpha_coverage"] = alpha_coverage_weight * jnp.mean(
+        (1.0 - out["alpha"]) ** 2)
+    src_disp = mpi_source_disparity(mpi)
+    if loss_cfg.smoothness_weight > 0:
+        parts["smoothness"] = loss_cfg.smoothness_weight * mpi_smoothness(
+            src_disp, src_image, loss_cfg.edge_aware_smoothness)
+    if loss_cfg.depth_supervision_weight > 0 and gt_disparity is not None:
+        if gt_valid is None:
+            gt_valid = jnp.ones_like(gt_disparity)
+        err_d = _charbonnier(src_disp - gt_disparity) * gt_valid
+        parts["depth_supervision"] = (
+            loss_cfg.depth_supervision_weight
+            * divide_safe(jnp.sum(err_d), jnp.sum(gt_valid)))
     parts["total"] = sum(parts.values())
     return parts

@@ -94,6 +94,36 @@ class MPIPredictor(nn.Module):
                    intrinsics=intrinsics.astype(jnp.float32))
 
 
+def build_mpi_predictor(model_cfg) -> "MPIPredictor":
+    """Construct the MPI baseline predictor from a ModelConfig
+    (family="mpi" — the trainable plane-based baseline experiment)."""
+    return MPIPredictor(
+        num_planes=model_cfg.num_planes,
+        base_filters=model_cfg.base_filters,
+        num_scales=model_cfg.num_scales,
+        min_depth=model_cfg.min_depth,
+        max_depth=model_cfg.max_depth,
+        compute_dtype=model_cfg.compute_dtype)
+
+
+def mpi_source_disparity(mpi: MPI) -> jnp.ndarray:
+    """Expected source-view disparity of an MPI: (B, H, W, 1).
+
+    No warping needed — in the source camera every plane is aligned, so the
+    over-composite reduces to per-pixel weights w_d = a_d * prod_{d'<d}
+    (1 - a_{d'}) and E[disparity] = sum_d w_d / depth_d. Used for the
+    smoothness regularizer, depth supervision, and depth evaluation of the
+    plane-based baseline.
+    """
+    a = jnp.clip(mpi.alphas[..., 0], 0.0, 1.0)      # (B, D, H, W)
+    trans = jnp.cumprod(1.0 - a, axis=1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1)  # exclusive
+    w = a * trans
+    disp = jnp.sum(w / mpi.depths[None, :, None, None], axis=1)
+    return disp[..., None]
+
+
 def render_mpi(mpi: MPI, pose_src2trg: jnp.ndarray,
                K_trg: Optional[jnp.ndarray] = None,
                out_hw=None):

@@ -11,6 +11,7 @@
 // Build: see lsi_tpu/native/__init__.py (single g++ -shared invocation).
 
 #include <cmath>
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -53,7 +54,16 @@ Image decode_png(const char* path) {
   if (!fp) return img;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return img;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return img;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -92,13 +102,33 @@ Image decode_png(const char* path) {
   return img;
 }
 
+// libjpeg's default error_exit calls exit(): a single corrupt/truncated
+// JPEG would kill the whole training process. Recoverable handler via
+// setjmp/longjmp (the libjpeg-documented idiom).
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jump;
+};
+
+void jpeg_error_exit_recover(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
 Image decode_jpeg(const char* path) {
   Image img;
   FILE* fp = std::fopen(path, "rb");
   if (!fp) return img;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit_recover;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    img.ok = false;
+    return img;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, fp);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
@@ -292,7 +322,16 @@ int lsi_decode_depth16(const char* path, int* h, int* w, uint16_t* out,
   if (!fp) return 0;
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return 0;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return 0;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);

@@ -20,6 +20,7 @@ re-designed for TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -33,7 +34,7 @@ from lsi_tpu.data.pipeline import Batch, make_dataset
 from lsi_tpu.losses import total_loss
 from lsi_tpu.models.ldi_predictor import LDIPredictor
 from lsi_tpu.parallel.mesh import MeshPlan, assert_divisible, make_mesh_plan
-from lsi_tpu.train.checkpoint import CheckpointManager
+from lsi_tpu.train.checkpoint import CheckpointManager, export_params_npz
 from lsi_tpu.train.metrics import MetricWriter
 
 
@@ -150,6 +151,7 @@ class Trainer:
         last_metrics: Dict[str, Any] = {}
         t_last = time.time()
         frames = 0
+        window_warned = False
         try:
             for step in range(start_step, max_steps):
                 batch = next(data_iter)
@@ -161,10 +163,30 @@ class Trainer:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     if not all(map(_finite, metrics.values())):
                         # Failure detection: halt on NaN/inf rather than
-                        # burning accelerator time on a dead run.
-                        self.ckpt.save(step + 1, jax.device_get(state))
+                        # burning accelerator time on a dead run. The
+                        # poisoned state goes to a debug dump OUTSIDE the
+                        # orbax resume path — saving it as a regular
+                        # checkpoint would make auto-resume restore the
+                        # corrupted state forever (and max_to_keep could
+                        # rotate out the last good one).
+                        dump = os.path.join(
+                            cfg.train.checkpoint_dir,
+                            f"nan_debug_params_step{step + 1}.npz")
+                        export_params_npz(
+                            jax.device_get(state.params), dump)
                         raise FloatingPointError(
-                            f"non-finite loss at step {step + 1}: {metrics}")
+                            f"non-finite loss at step {step + 1}: {metrics} "
+                            f"(params dumped to {dump})")
+                    if not window_warned and "window_dropped_frac" in metrics:
+                        # Pallas dy-window safety: training on poses that
+                        # overflow the static window silently truncates the
+                        # render — warn once, loudly (host callbacks are
+                        # unsupported on axon, so the diagnostic rides the
+                        # loss outputs).
+                        from lsi_tpu.geometry.ldi import warn_window_drop
+                        window_warned = warn_window_drop(
+                            metrics["window_dropped_frac"],
+                            cfg.render.pallas_max_dy)
                     now = time.time()
                     dt = now - t_last
                     metrics["steps_per_sec"] = cfg.train.log_every / dt

@@ -70,3 +70,44 @@ def test_pipeline_sharded_layout():
     # each device holds 1/8 of the batch
     shard = b.src_image.addressable_shards[0]
     assert shard.data.shape == (1, 16, 24, 3)
+
+
+def test_prefetcher_propagates_worker_errors():
+    """A bad dataset root must raise promptly in the consumer, not hang."""
+    import pytest
+
+    cfg = DataConfig(dataset="kitti", root="/nonexistent_kitti_root",
+                     height=8, width=8, batch_size=1)
+    it = make_dataset(cfg, seed=0)
+    with pytest.raises(FileNotFoundError):
+        next(it)
+    # terminal state stays re-raisable on subsequent calls (never blocks)
+    with pytest.raises(FileNotFoundError):
+        next(it)
+
+
+def test_split_records_group_level():
+    from lsi_tpu.data.splits import split_records
+
+    recs = [{"g": f"g{i // 10}", "i": i} for i in range(100)]  # 10 groups
+    key = lambda r: r["g"]  # noqa: E731
+    train = split_records(recs, key, "train", 0.1)
+    val = split_records(recs, key, "val", 0.1)
+    # disjoint at the group level, jointly exhaustive
+    assert {r["i"] for r in train} | {r["i"] for r in val} == set(range(100))
+    assert not ({key(r) for r in train} & {key(r) for r in val})
+    assert len({key(r) for r in val}) == 1
+    assert split_records(recs, key, "all", 0.1) == recs
+    # deterministic
+    assert split_records(recs, key, "val", 0.1) == val
+
+
+def test_synthetic_val_split_disjoint():
+    tr = next(make_dataset(DataConfig(
+        dataset="synthetic", height=16, width=24, batch_size=2,
+        split="train"), seed=0))
+    va = next(make_dataset(DataConfig(
+        dataset="synthetic", height=16, width=24, batch_size=2,
+        split="val"), seed=0))
+    diff = np.abs(np.asarray(tr.src_image) - np.asarray(va.src_image)).max()
+    assert diff > 1e-3  # val scenes come from a disjoint seed range

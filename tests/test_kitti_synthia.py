@@ -170,3 +170,49 @@ def test_oxts_pose_math_rotation():
     # R should be Rz(-0.1) (t1 frame sees t0 points rotated back)
     ang = np.arctan2(T[1, 0], T[0, 0])
     np.testing.assert_allclose(ang, -0.1, atol=1e-8)
+
+
+def test_kitti_drive_level_split(tmp_path):
+    """Two drives: train/val must partition at the drive level."""
+    root = tmp_path / "kitti2"
+    date = "2011_09_26"
+    for drive_id in ("0001", "0002"):
+        drive = f"{date}_drive_{drive_id}_sync"
+        for cam in ("image_02", "image_03"):
+            for i in range(2):
+                _png(str(root / date / drive / cam / "data"
+                         / f"{i:010d}.png"), 64, 192)
+    (root / date / "calib_cam_to_cam.txt").write_text(CALIB)
+
+    all_recs = kitti.index_drives(str(root))
+    assert len(all_recs) == 4
+    from lsi_tpu.data.splits import split_records
+    key = lambda r: os.path.dirname(os.path.dirname(  # noqa: E731
+        os.path.dirname(r["left"])))
+    train = split_records(all_recs, key, "train", 0.1)
+    val = split_records(all_recs, key, "val", 0.1)
+    assert len(train) == 2 and len(val) == 2
+    assert {key(r) for r in train}.isdisjoint({key(r) for r in val})
+
+    # and the stream respects cfg.split
+    cfg = DataConfig(dataset="kitti", root=str(root), height=32, width=96,
+                     batch_size=2, augment=False, split="val")
+    batch = next(make_dataset(cfg, seed=0, repeat=False))
+    assert batch.src_image.shape == (2, 32, 96, 3)
+
+
+def test_synthia_right_depth_feeds_trg_gt(synthia_root, tmp_path):
+    """Depth/Stereo_Right populates the occluded-region eval's target GT."""
+    seq = os.path.join(synthia_root, "SYNTHIA-SEQS-01-SUMMER")
+    for i in range(2):
+        path = os.path.join(seq, "Depth", "Stereo_Right", "Omni_F",
+                            f"{i:07d}.png")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(np.full((76, 128), 800, np.uint16)).save(path)  # 8 m
+
+    cfg = DataConfig(dataset="synthia", root=synthia_root, height=38,
+                     width=64, batch_size=2, augment=False)
+    batch = next(make_dataset(cfg, seed=0, repeat=False))
+    np.testing.assert_allclose(np.asarray(batch.trg_gt_disparity), 1.0 / 8.0,
+                               rtol=1e-5)
+    assert np.asarray(batch.trg_gt_valid).min() == 1.0

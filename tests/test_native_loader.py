@@ -97,3 +97,31 @@ def test_16bit_rgb_png_decodes(tmp_path, lib_ok, rng):
     out = native.decode_image(p)  # 16-bit stripped to 8-bit RGB
     assert out.shape == (16, 20, 3)
     np.testing.assert_allclose(out, (arr16 >> 8).astype(np.uint8), atol=1)
+
+
+def test_corrupt_jpeg_fails_gracefully(tmp_path, lib_ok, rng):
+    """A truncated/garbage JPEG must not exit() the process (libjpeg's
+    default error_exit does); it fails soft and leaves zeros in the slot."""
+    good = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    pg = str(tmp_path / "good.jpg")
+    Image.fromarray(good).save(pg, quality=90)
+    # truncated jpeg: valid header, chopped body
+    data = open(pg, "rb").read()
+    pt = str(tmp_path / "trunc.jpg")
+    open(pt, "wb").write(data[: len(data) // 3])
+    # pure garbage with a jpeg extension
+    pb = str(tmp_path / "garbage.jpg")
+    open(pb, "wb").write(b"\xff\xd8\xff" + bytes(rng.integers(
+        0, 255, 64, dtype=np.uint8).tolist()))
+
+    out = native.load_batch([pg, pt, pb], 16, 16, num_threads=3)
+    assert out.shape == (3, 16, 16, 3)
+    assert out[0].max() > 0            # the good image decoded
+    assert float(out[2].max()) == 0.0  # garbage slot zeroed, process alive
+
+
+def test_corrupt_png_fails_gracefully(tmp_path, lib_ok, rng):
+    pb = str(tmp_path / "bad.png")
+    open(pb, "wb").write(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    out = native.load_batch([pb], 8, 8)
+    assert float(out.max()) == 0.0

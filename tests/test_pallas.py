@@ -246,3 +246,98 @@ def test_unaligned_shapes(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_use_pallas(monkeypatch):
+    from lsi_tpu.geometry.ldi import resolve_use_pallas
+
+    monkeypatch.delenv("LSI_TPU_FORCE_PALLAS", raising=False)
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_use_pallas("off") is False
+    assert resolve_use_pallas(False) is False
+    assert resolve_use_pallas("auto") is on_tpu
+    assert resolve_use_pallas("on") is on_tpu
+    # explicit on + FORCE env exercises the kernel off-TPU (interpret mode)
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    assert resolve_use_pallas(True) is True
+    assert resolve_use_pallas("auto") is on_tpu  # auto ignores FORCE
+    # auto picks pallas on a TPU backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("LSI_TPU_FORCE_PALLAS", raising=False)
+    assert resolve_use_pallas("auto") is True
+    with pytest.raises(ValueError):
+        resolve_use_pallas("maybe")
+
+
+def test_all_presets_use_pallas_auto():
+    """Production presets must never ship the 70x-slower scatter on TPU:
+    every preset leaves use_pallas at 'auto' (VERDICT r1 weak #1)."""
+    from lsi_tpu.config import PRESETS
+    for name, cfg in PRESETS.items():
+        assert cfg.render.use_pallas == "auto", name
+        assert cfg.render.window_check, name
+
+
+def test_window_guard_flags_truncation(rng, monkeypatch):
+    """An over-rotated render (content beyond pallas_max_dy) must be
+    observable via window_dropped_frac and warn through the eager API.
+
+    NOT a jax.debug.callback design: axon PJRT does not support host
+    callbacks, so the diagnostic rides the render outputs as a regular
+    on-device scalar.
+    """
+    import warnings as _warnings
+
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    from jax.experimental.pallas import tpu as pltpu
+    from lsi_tpu.geometry.ldi import LDI, render_forward, warn_window_drop
+    from lsi_tpu.geometry import transforms
+
+    h, w = 16, 128
+    tex = jnp.asarray(rng.uniform(size=(1, 1, h, w, 3)), jnp.float32)
+    disp = jnp.full((1, 1, h, w, 1), 0.3, jnp.float32)
+    K = jnp.asarray(np.array(
+        [[40.0, 0, (w - 1) / 2], [0, 40.0, (h - 1) / 2], [0, 0, 1]],
+        np.float32)[None])
+    ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+
+    def run(pose, max_dy):
+        def go():
+            return render_forward(ldi, pose, zbuffer_scale=20.0,
+                                  use_pallas=True, pallas_max_dy=max_dy)
+        if INTERPRET:
+            with pltpu.force_tpu_interpret_mode():
+                return go()
+        return go()
+
+    # big vertical translation: ty = 0.5 at disparity 0.3, fy = 40
+    # => dy = fy * ty * d = 6 rows of displacement >> max_dy = 2
+    pose_bad = transforms.translation_pose(
+        np.array([[0.0, -0.5, 0.0]], np.float32))
+    out_bad = run(pose_bad, max_dy=2)
+    assert float(out_bad["window_dropped_frac"]) > 0.5
+    with pytest.warns(RuntimeWarning, match="dy-window"):
+        assert warn_window_drop(out_bad["window_dropped_frac"], 2)
+
+    # benign stereo pose with an adequate window: clean
+    pose_ok = transforms.translation_pose(
+        np.array([[-0.2, 0.0, 0.0]], np.float32))
+    out_ok = run(pose_ok, max_dy=2)
+    assert float(out_ok["window_dropped_frac"]) < 1e-6
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        assert not warn_window_drop(out_ok["window_dropped_frac"], 2)
+
+    # the eager public API warns end-to-end
+    from lsi_tpu.api import render as api_render
+    from lsi_tpu.config import RenderConfig
+    with pytest.warns(RuntimeWarning, match="dy-window"):
+        if INTERPRET:
+            with pltpu.force_tpu_interpret_mode():
+                api_render(ldi, pose_bad,
+                           config=RenderConfig(use_pallas="on",
+                                               zbuffer_scale=20.0))
+        else:
+            api_render(ldi, pose_bad,
+                       config=RenderConfig(use_pallas="on",
+                                           zbuffer_scale=20.0))

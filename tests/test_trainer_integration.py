@@ -70,3 +70,37 @@ def test_profiler_trace_written(tmp_path):
     t.train()
     import glob
     assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+
+
+def test_nan_guard_does_not_poison_resume(tmp_path):
+    """A NaN halt must dump debug state OUTSIDE the orbax resume path."""
+    import pytest
+
+    from lsi_tpu.data.pipeline import Batch, make_dataset
+
+    ckpt = tmp_path / "ckpt_nan"
+    cfg = tiny_config(ckpt).replace(
+        train=TrainConfig(learning_rate=1e-3, warmup_steps=2,
+                          max_steps=4, checkpoint_dir=str(ckpt),
+                          log_every=1, checkpoint_every=100, seed=0))
+    t = Trainer(cfg)
+
+    clean_iter = make_dataset(cfg.data, seed=0,
+                              sharding=t.plan.batch_sharding())
+
+    def poisoned():
+        while True:
+            b = next(clean_iter)
+            yield Batch(src_image=b.src_image * np.nan,
+                        trg_image=b.trg_image,
+                        intrinsics=b.intrinsics,
+                        pose_src2trg=b.pose_src2trg,
+                        gt_disparity=b.gt_disparity,
+                        gt_valid=b.gt_valid)
+
+    with pytest.raises(FloatingPointError):
+        t.train(data_iter=poisoned())
+    # no regular checkpoint was written with the corrupted state …
+    assert t.ckpt.latest_step() is None
+    # … but the debug dump exists for post-mortem
+    assert glob.glob(str(ckpt / "nan_debug_params_step*.npz"))
