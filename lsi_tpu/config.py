@@ -150,6 +150,18 @@ PRESETS = {
                         batch_size=64),
         train=TrainConfig(remat_decoder=True),
     ),
+    # 6: layered-planes (MPI) baseline — the reference's plane-based
+    #    baseline experiments, trainable end-to-end for LDI-vs-planes
+    #    comparisons on the same eval batches. Gather-only render.
+    "mpi_baseline": _cfg(
+        model=ModelConfig(family="mpi", num_planes=16, base_filters=16,
+                          num_scales=4, min_depth=1.0, max_depth=100.0),
+        loss=LossConfig(photo_mode="splat", smoothness_weight=0.01),
+        data=DataConfig(dataset="synthetic", height=128, width=256,
+                        batch_size=8),
+        train=TrainConfig(learning_rate=5e-4, warmup_steps=20,
+                          max_steps=2000),
+    ),
     # 5: camera-trajectory sweep — one LDI rendered to 60 novel views
     #    (rotation sweeps need a wide vertical splat window).
     "trajectory_sweep": _cfg(

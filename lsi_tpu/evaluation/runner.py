@@ -21,11 +21,36 @@ from lsi_tpu.config import Config
 from lsi_tpu.data.pipeline import make_dataset
 from lsi_tpu.evaluation.metrics import depth_metrics, psnr, ssim
 from lsi_tpu.geometry.ldi import render_forward
-from lsi_tpu.models.ldi_predictor import LDIPredictor
 
 
 def build_eval_step(cfg: Config):
-    model = LDIPredictor(cfg.model)
+    from lsi_tpu.train.trainer import build_model
+    model = build_model(cfg.model)
+
+    if cfg.model.family == "mpi":
+        from lsi_tpu.models.mpi import mpi_source_disparity, render_mpi
+
+        @jax.jit
+        def eval_step_mpi(params, batch):
+            mpi = model.apply({"params": params}, batch.src_image,
+                              batch.intrinsics)
+            out = render_mpi(mpi, batch.pose_src2trg,
+                             out_hw=batch.trg_image.shape[1:3])
+            covered = (out["alpha"] > 0.5).astype(jnp.float32)
+            metrics = {
+                "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),
+                "psnr_full": psnr(out["rgb"], batch.trg_image),
+                "ssim": ssim(out["rgb"] * covered,
+                             batch.trg_image * covered),
+                "coverage": jnp.mean(out["alpha"]),
+            }
+            if batch.gt_disparity is not None and batch.gt_valid is not None:
+                metrics.update(depth_metrics(
+                    mpi_source_disparity(mpi), batch.gt_disparity,
+                    batch.gt_valid))
+            return metrics, out["rgb"], mpi
+
+        return eval_step_mpi
 
     @jax.jit
     def eval_step(params, batch):
@@ -101,16 +126,24 @@ def evaluate(cfg: Config, params, num_batches: int = 16,
     return results
 
 
-def export_image_grid(batch, rendered, ldi, out_dir: str,
+def _pred_disparity(pred) -> np.ndarray:
+    """(B, H, W) display disparity for either model family."""
+    if hasattr(pred, "disparities"):          # LDI: layer 0
+        return np.asarray(pred.disparities[:, 0, ..., 0])
+    from lsi_tpu.models.mpi import mpi_source_disparity
+    return np.asarray(mpi_source_disparity(pred)[..., 0])
+
+
+def export_image_grid(batch, rendered, pred, out_dir: str,
                       max_rows: int = 4) -> None:
-    """PNG grid: src | trg | render | layer-0 disparity (viridis-free gray)."""
+    """PNG grid: src | trg | render | disparity (viridis-free gray)."""
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
     src = np.asarray(batch.src_image)
     trg = np.asarray(batch.trg_image)
     ren = np.clip(np.asarray(rendered), 0, 1)
-    disp = np.asarray(ldi.disparities[:, 0, ..., 0])
+    disp = _pred_disparity(pred)
     disp = disp / max(disp.max(), 1e-6)
     rows = []
     for i in range(min(max_rows, src.shape[0])):
@@ -153,7 +186,9 @@ def main(argv=None):
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")
 
-    if args.trajectory_gif:
+    if args.trajectory_gif and cfg.model.family != "ldi":
+        print("trajectory gif: LDI-family only; skipping")
+    elif args.trajectory_gif:
         from lsi_tpu.data.pipeline import make_dataset
         from lsi_tpu.evaluation.trajectory import render_trajectory
         from lsi_tpu.evaluation.video import save_gif

@@ -29,10 +29,22 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from lsi_tpu.config import Config
+from lsi_tpu.config import Config, ModelConfig
 from lsi_tpu.data.pipeline import Batch, make_dataset
 from lsi_tpu.losses import total_loss
 from lsi_tpu.models.ldi_predictor import LDIPredictor
+
+
+def build_model(model_cfg: ModelConfig):
+    """Model-family dispatch: the LDI predictor (flagship) or the
+    layered-planes MPI baseline (the reference's plane-based experiments)."""
+    if model_cfg.family == "mpi":
+        from lsi_tpu.models.mpi import build_mpi_predictor
+        return build_mpi_predictor(model_cfg)
+    if model_cfg.family != "ldi":
+        raise ValueError(
+            f"unknown model family {model_cfg.family!r}; use ldi|mpi")
+    return LDIPredictor(model_cfg)
 from lsi_tpu.parallel.mesh import MeshPlan, assert_divisible, make_mesh_plan
 from lsi_tpu.train.checkpoint import CheckpointManager, export_params_npz
 from lsi_tpu.train.metrics import MetricWriter
@@ -57,7 +69,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_state(cfg: Config, rng) -> TrainState:
-    model = LDIPredictor(cfg.model)
+    model = build_model(cfg.model)
     h, w = cfg.data.height, cfg.data.width
     dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
     dummy_k = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
@@ -73,7 +85,7 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
     in/out shardings are annotated so that the batch stays sharded on the
     data axis and XLA inserts the gradient all-reduce.
     """
-    model = LDIPredictor(cfg.model)
+    model = build_model(cfg.model)
 
     def apply_model(params, image, intrinsics):
         fn = lambda p, im, K: model.apply({"params": p}, im, K)
@@ -82,11 +94,18 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
         return fn(params, image, intrinsics)
 
     def loss_fn(params, batch: Batch):
-        ldi = apply_model(params, batch.src_image, batch.intrinsics)
-        parts = total_loss(
-            ldi, batch.trg_image, batch.pose_src2trg,
-            cfg.loss, cfg.render,
-            gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
+        pred = apply_model(params, batch.src_image, batch.intrinsics)
+        if cfg.model.family == "mpi":
+            from lsi_tpu.losses.losses import mpi_total_loss
+            parts = mpi_total_loss(
+                pred, batch.src_image, batch.trg_image, batch.pose_src2trg,
+                cfg.loss,
+                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
+        else:
+            parts = total_loss(
+                pred, batch.trg_image, batch.pose_src2trg,
+                cfg.loss, cfg.render,
+                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
         return parts["total"], parts
 
     def step_fn(state: TrainState, batch: Batch):
