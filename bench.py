@@ -85,6 +85,75 @@ def build_pipeline(height, width, num_layers, use_pallas, splat_method,
 LOOP_ITERS = 10
 
 
+def build_train_pipeline(height, width, num_layers, batch, photo_mode,
+                         use_pallas, window_check=True, loop_iters=None):
+    """Jitted full-training-step loop (model fwd + render + losses + bwd +
+    Adam update), timed the same honest way as inference: LOOP_ITERS steps
+    inside one lax.scan whose carry is the train state itself — one
+    dispatch, fully serialized optimizer steps, no async-queue artifacts."""
+    from lsi_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
+                                RenderConfig)
+    from lsi_tpu.data.pipeline import Batch
+    from lsi_tpu.geometry.transforms import translation_pose
+    from lsi_tpu.train.trainer import create_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(num_layers=num_layers),
+        render=RenderConfig(use_pallas="on" if use_pallas else "off",
+                            window_check=window_check),
+        loss=LossConfig(photo_mode=photo_mode),
+        data=DataConfig(dataset="synthetic", height=height, width=width,
+                        batch_size=batch),
+    )
+    state = create_state(cfg, jax.random.key(0))
+    step_fn = make_train_step(cfg)  # single-device jit
+
+    rng = np.random.default_rng(0)
+    from lsi_tpu.api import default_intrinsics
+    batch_data = Batch(
+        src_image=jnp.asarray(rng.uniform(size=(batch, height, width, 3)),
+                              jnp.float32),
+        trg_image=jnp.asarray(rng.uniform(size=(batch, height, width, 3)),
+                              jnp.float32),
+        intrinsics=default_intrinsics(batch, height, width),
+        pose_src2trg=jnp.broadcast_to(
+            translation_pose(np.array([-0.3, 0.0, 0.0], np.float32))[None],
+            (batch, 4, 4)),
+    )
+
+    loop_iters = loop_iters or LOOP_ITERS
+
+    def train_loop(state, batch_arg):
+        def body(s, _):
+            new_s, metrics = step_fn(s, batch_arg)
+            return new_s, metrics["total"]
+        return jax.lax.scan(body, state, None, length=loop_iters)
+
+    return state, batch_data, jax.jit(train_loop), loop_iters
+
+
+def measure_train(device, height, width, num_layers, batch, photo_mode,
+                  use_pallas, iters, window_check=True, loop_iters=None):
+    with jax.default_device(device):
+        state, batch_data, loop, loop_iters = build_train_pipeline(
+            height, width, num_layers, batch, photo_mode, use_pallas,
+            window_check, loop_iters)
+        state = jax.device_put(state, device)
+        batch_data = jax.device_put(batch_data, device)
+
+        # warmup/compile; materialize via device->host reads
+        # (block_until_ready lies on the axon tunnel)
+        out_state, losses = loop(state, batch_data)
+        _ = float(np.asarray(losses[-1]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out_state, losses = loop(state, batch_data)
+        _ = float(np.asarray(losses[-1]))
+        _materialize(jax.tree_util.tree_leaves(out_state.params)[0])
+        dt = (time.perf_counter() - t0) / (iters * loop_iters)
+    return 1.0 / dt, batch / dt  # steps/s, frames/s
+
+
 def _materialize(out) -> float:
     """Force completion via an actual device->host transfer.
 
@@ -121,6 +190,52 @@ def measure(device, height, width, num_layers, batch, iters,
     return batch / dt  # frames/sec
 
 
+def run_train_bench(accel, h, w, layers, use_pallas, args):
+    """Training-throughput benchmark (BASELINE.md training rows):
+    flagship 256x768, photo_mode=both (gather + Pallas-VJP splat), plus the
+    single-direction variants to profile the gather (inverse-warp) hot path
+    against the splat direction."""
+    batch = 8
+    iters = max(1, (2 if args.quick else 6))
+    log(f"train bench: accel={accel} pallas={use_pallas} b{batch} {h}x{w}")
+
+    sps_both, fps_both = measure_train(
+        accel, h, w, layers, batch, "both", use_pallas, iters)
+    log(f"[train both]        {sps_both:.3f} steps/s  {fps_both:.2f} "
+        "frames/s")
+    sps_inv, fps_inv = measure_train(
+        accel, h, w, layers, batch, "inverse_warp", use_pallas, iters)
+    log(f"[train inverse_warp] {sps_inv:.3f} steps/s  {fps_inv:.2f} "
+        "frames/s (gather direction — kitti_ldi2)")
+    sps_splat, fps_splat = measure_train(
+        accel, h, w, layers, batch, "splat", use_pallas, iters)
+    log(f"[train splat]        {sps_splat:.3f} steps/s  {fps_splat:.2f} "
+        "frames/s (scatter direction)")
+
+    vs_baseline = 0.0
+    if not args.no_cpu:
+        try:
+            cpu = jax.devices("cpu")[0]
+            # seconds-per-step territory: a 2-step scan keeps the honest
+            # protocol (serialized on-device steps) at a feasible runtime.
+            sps_cpu, fps_cpu = measure_train(
+                cpu, h, w, layers, 1, "both", False, 1, loop_iters=2)
+            log(f"[train cpu b1]       {sps_cpu:.4f} steps/s "
+                f"{fps_cpu:.4f} frames/s (denominator)")
+            vs_baseline = fps_both / fps_cpu if fps_cpu > 0 else 0.0
+        except Exception as e:
+            log(f"cpu train denominator unavailable: {e}")
+
+    print(json.dumps({
+        "metric": (f"train frames/sec/chip, 2-layer LDI full train step "
+                   f"@{h}x{w} b{batch} photo=both"
+                   + (" (pallas)" if use_pallas else "")),
+        "value": round(fps_both, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -133,6 +248,9 @@ def main():
                     help="force the lax scatter splat")
     ap.add_argument("--all-configs", action="store_true",
                     help="also run the secondary BASELINE configs")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the FULL training step at the flagship "
+                         "resolution instead of inference")
     args = ap.parse_args()
 
     h, w, layers = 256, 768, 2
@@ -142,6 +260,10 @@ def main():
     # The Pallas splat is the production path on TPU (the XLA scatter runs
     # serialized at ~16M updates/s there); lax elsewhere.
     use_pallas = (on_accel or args.pallas) and not args.no_pallas
+
+    if args.train:
+        run_train_bench(accel, h, w, layers, use_pallas, args)
+        return
 
     log(f"accelerator: {accel} (platform={accel.platform}) "
         f"pallas={use_pallas}")

@@ -45,6 +45,9 @@ class RenderConfig:
 class LossConfig:
     photo_mode: str = "inverse_warp"  # "inverse_warp" | "splat" | "both"
     min_over_layers: bool = True      # per-pixel min over L (layer specializ.)
+    candidate_radius: int = 0         # r>0: min over (2r+1)^2 candidate
+                                      # target samples around each projected
+                                      # location (min-over-src-candidates).
     ssim_weight: float = 0.0          # alpha in alpha*SSIM + (1-alpha)*L1 on
                                       # the splat composite (0 = pure L1).
     smoothness_weight: float = 0.05
@@ -70,6 +73,8 @@ class DataConfig:
     prefetch: int = 2                # device-side double buffering depth.
     kitti_pairs: str = "stereo"      # "stereo" | "temporal" (OXTS ego-motion)
     temporal_stride: int = 1         # frame gap for temporal pairs.
+    synthetic_scene: str = "two_plane"  # "two_plane" | "multi" (2-4 boxes,
+                                        # slanted bg, SE(3) pose jitter).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +89,9 @@ class TrainConfig:
     checkpoint_every: int = 2000
     max_to_keep: int = 5
     log_every: int = 100
+    eval_every: int = 0              # >0: run a held-out eval every N steps
+                                     # (metrics to jsonl + image grid dump).
+    eval_batches: int = 4            # batches averaged per in-training eval.
     seed: int = 0
     remat_decoder: bool = False      # jax.checkpoint on decoder (512x1536).
     profile_dir: str = ""            # non-empty => jax.profiler traces.
@@ -149,6 +157,20 @@ PRESETS = {
         data=DataConfig(dataset="kitti", height=512, width=1536,
                         batch_size=64),
         train=TrainConfig(remat_decoder=True),
+    ),
+    # 7: multi-object synthetic stress — 2-4 boxes at varying depths over a
+    #    slanted background, SE(3) pose jitter incl. rotation; 3-layer LDI
+    #    with predicted textures (the setting that actually exercises layer
+    #    specialization and disocclusion inpainting).
+    "synthetic_multi": _cfg(
+        model=ModelConfig(num_layers=3, base_filters=16, num_scales=4,
+                          layer0_texture_from_input=False),
+        render=RenderConfig(zbuffer_scale=30.0, pallas_max_dy=8),
+        loss=LossConfig(photo_mode="both", smoothness_weight=0.01),
+        data=DataConfig(dataset="synthetic", synthetic_scene="multi",
+                        height=128, width=256, batch_size=8),
+        train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
+                          max_steps=5000),
     ),
     # 6: layered-planes (MPI) baseline — the reference's plane-based
     #    baseline experiments, trainable end-to-end for LDI-vs-planes

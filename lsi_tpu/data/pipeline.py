@@ -46,11 +46,14 @@ def _example_stream(cfg: DataConfig, seed: int, repeat: bool):
         # scenes are drawn from generator streams a train run never visits.
         if cfg.split == "val":
             seed = seed + 0x5EED_0FF5
+        make = (synthetic.make_scene_multi
+                if getattr(cfg, "synthetic_scene", "two_plane") == "multi"
+                else synthetic.make_scene)
         epoch = 0
         while True:
             rng = np.random.default_rng(seed + epoch)
             for _ in range(1024):
-                s = synthetic.make_scene(rng, cfg.height, cfg.width)
+                s = make(rng, cfg.height, cfg.width)
                 yield {
                     "src_image": s.src_image,
                     "trg_image": s.trg_image,

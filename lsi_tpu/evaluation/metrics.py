@@ -44,25 +44,46 @@ def _filter2d(img: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
     return conv_axis(conv_axis(img, 1), 2)
 
 
-def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0):
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
+         mask: Optional[jnp.ndarray] = None):
     """Mean SSIM over the batch, 11x11 Gaussian windows (standard constants).
 
     Inputs (B, H, W, C) in [0, max_val]; returns scalar.
+
+    With ``mask`` (B, H, W, 1), window statistics are computed over valid
+    pixels only (mask-renormalized means/variances, partial-convolution
+    style) and each window's score is weighted by its valid mass — zeroed
+    holes no longer depress local statistics, which made masked-image SSIM
+    statistically wrong at hole boundaries.
     """
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     k = _gaussian_kernel()
     x = pred.astype(jnp.float32)
     y = target.astype(jnp.float32)
-    mu_x = _filter2d(x, k)
-    mu_y = _filter2d(y, k)
+    if mask is None:
+        fmean = lambda z: _filter2d(z, k)
+        weight = None
+    else:
+        m = mask.astype(jnp.float32)
+        x = x * m
+        y = y * m
+        msum = _filter2d(m, k)  # (B, H', W', 1), in (0, 1]
+        eps = 1e-8
+        fmean = lambda z: _filter2d(z, k) / jnp.maximum(msum, eps)
+        weight = msum
+    mu_x = fmean(x)
+    mu_y = fmean(y)
     mu_x2, mu_y2, mu_xy = mu_x ** 2, mu_y ** 2, mu_x * mu_y
-    sigma_x = _filter2d(x * x, k) - mu_x2
-    sigma_y = _filter2d(y * y, k) - mu_y2
-    sigma_xy = _filter2d(x * y, k) - mu_xy
+    sigma_x = fmean(x * x) - mu_x2
+    sigma_y = fmean(y * y) - mu_y2
+    sigma_xy = fmean(x * y) - mu_xy
     score = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)
              / ((mu_x2 + mu_y2 + c1) * (sigma_x + sigma_y + c2)))
-    return jnp.mean(score)
+    if weight is None:
+        return jnp.mean(score)
+    w = jnp.broadcast_to(weight, score.shape)
+    return jnp.sum(score * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
 def depth_metrics(pred_disparity: jnp.ndarray, gt_disparity: jnp.ndarray,

@@ -40,8 +40,7 @@ def build_eval_step(cfg: Config):
             metrics = {
                 "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),
                 "psnr_full": psnr(out["rgb"], batch.trg_image),
-                "ssim": ssim(out["rgb"] * covered,
-                             batch.trg_image * covered),
+                "ssim": ssim(out["rgb"], batch.trg_image, mask=covered),
                 "coverage": jnp.mean(out["alpha"]),
             }
             if batch.gt_disparity is not None and batch.gt_valid is not None:
@@ -68,7 +67,7 @@ def build_eval_step(cfg: Config):
         metrics = {
             "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),
             "psnr_full": psnr(out["rgb"], batch.trg_image),
-            "ssim": ssim(out["rgb"] * covered, batch.trg_image * covered),
+            "ssim": ssim(out["rgb"], batch.trg_image, mask=covered),
             "coverage": jnp.mean(covered),
             "window_dropped_frac": out["window_dropped_frac"],
         }

@@ -252,6 +252,22 @@ def render_forward(ldi: LDI,
     }
 
 
+def project_layers_folded(ldi: LDI, pose_src2trg: jnp.ndarray,
+                          K_trg: Optional[jnp.ndarray] = None):
+    """Per-layer target correspondences on folded (B*L, H, W, ·) tensors.
+
+    Returns (trg_coords (B*L,H,W,2), trg_disp (B*L,H,W,1),
+    in_front (B*L,H,W,1)).
+    """
+    b, l, h, w, _ = ldi.textures.shape
+    if K_trg is None:
+        K_trg = ldi.intrinsics
+    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
+    rep = lambda m: jnp.repeat(m, l, axis=0)
+    return projection.forward_project(
+        disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
+
+
 def gather_target_per_layer_folded(ldi: LDI,
                                    target_image: jnp.ndarray,
                                    pose_src2trg: jnp.ndarray,
@@ -262,16 +278,10 @@ def gather_target_per_layer_folded(ldi: LDI,
     tensors (5-D intermediates provoke pathological TPU layouts); callers
     reshape only the (small) reduction input back to (B, L, ...).
     """
-    b, l, h, w, _ = ldi.textures.shape
-    if K_trg is None:
-        K_trg = ldi.intrinsics
-
-    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
-    rep = lambda m: jnp.repeat(m, l, axis=0)
-    trg_coords, trg_disp, in_front = projection.forward_project(
-        disp_bl, rep(ldi.intrinsics), rep(K_trg), rep(pose_src2trg))
-
-    trg_rep = rep(target_image)  # (B*L, Ht, Wt, 3)
+    l = ldi.textures.shape[1]
+    trg_coords, trg_disp, in_front = project_layers_folded(
+        ldi, pose_src2trg, K_trg)
+    trg_rep = jnp.repeat(target_image, l, axis=0)  # (B*L, Ht, Wt, 3)
     sampled, in_bounds = bilinear_sample(trg_rep, trg_coords)
     return sampled, in_front * in_bounds, trg_disp
 

@@ -34,33 +34,61 @@ def _charbonnier(x: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
 def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
                                 pose_src2trg: jnp.ndarray,
                                 K_trg=None,
-                                min_over_layers: bool = True) -> jnp.ndarray:
+                                min_over_layers: bool = True,
+                                candidate_radius: int = 0) -> jnp.ndarray:
     """Gather-direction photometric loss, per-pixel min over layers.
 
     For each source pixel and each layer, samples the target image at that
     layer's projected location and compares with the layer's texture. Invalid
     samples (out of view) get a large error so the min ignores them, and
     pixels invalid in every layer are masked out entirely.
+
+    With ``candidate_radius`` r > 0, the error is additionally the min over
+    the (2r+1)^2 integer-offset CANDIDATE samples around each projected
+    location — the reference's "min over candidate source pixels" variant
+    (SURVEY.md §2 Losses row), which forgives sub-pixel correspondence /
+    calibration error at the cost of (2r+1)^2 gathers.
     """
+    from lsi_tpu.geometry.ldi import project_layers_folded
+    from lsi_tpu.ops.gather import bilinear_sample
+
     b, l, h, w, _ = ldi.textures.shape
     # Elementwise work stays on folded 4-D tensors (TPU layouts); only the
     # tiny per-pixel error map is reshaped to 5-D for the layer reduction.
-    sampled, valid, _ = gather_target_per_layer_folded(
-        ldi, target_image, pose_src2trg, K_trg)
     tex = ldi.textures.astype(jnp.float32).reshape(b * l, h, w, 3)
-    err = jnp.mean(_charbonnier(sampled - tex),
-                   axis=-1, keepdims=True)  # (B*L, H, W, 1)
-    big = jnp.asarray(1e3, err.dtype)
-    err_masked = jnp.where(valid > 0.5, err, big).reshape(b, l, h, w, 1)
+    big = jnp.asarray(1e3, jnp.float32)
+    if candidate_radius > 0:
+        trg_coords, _, in_front = project_layers_folded(
+            ldi, pose_src2trg, K_trg)
+        trg_rep = jnp.repeat(target_image, l, axis=0)
+        r = candidate_radius
+        err_masked = None
+        valid = None
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                off = jnp.asarray([dx, dy], jnp.float32)
+                sampled, inb = bilinear_sample(trg_rep, trg_coords + off)
+                v = in_front * inb
+                e = jnp.mean(_charbonnier(sampled - tex), -1, keepdims=True)
+                e = jnp.where(v > 0.5, e, big)
+                err_masked = e if err_masked is None else \
+                    jnp.minimum(err_masked, e)
+                valid = v if valid is None else jnp.maximum(valid, v)
+        err_masked = err_masked.reshape(b, l, h, w, 1)
+    else:
+        sampled, valid, _ = gather_target_per_layer_folded(
+            ldi, target_image, pose_src2trg, K_trg)
+        err = jnp.mean(_charbonnier(sampled - tex),
+                       axis=-1, keepdims=True)  # (B*L, H, W, 1)
+        err_masked = jnp.where(valid > 0.5, err, big).reshape(b, l, h, w, 1)
     valid = valid.reshape(b, l, h, w, 1)
     if min_over_layers:
         per_pixel = jnp.min(err_masked, axis=1)  # (B, H, W, 1)
-        any_valid = jnp.max(valid, axis=1)
     else:
-        err = err.reshape(b, l, h, w, 1)
-        per_pixel = divide_safe(jnp.sum(err * valid, axis=1),
-                                jnp.sum(valid, axis=1))
-        any_valid = jnp.max(valid, axis=1)
+        per_pixel = divide_safe(
+            jnp.sum(jnp.where(valid > 0.5, err_masked, 0.0), axis=1),
+            jnp.sum(valid, axis=1))
+    any_valid = jnp.max(valid, axis=1)
     per_pixel = jnp.where(any_valid > 0.5, per_pixel, 0.0)
     return divide_safe(jnp.sum(per_pixel), jnp.sum(any_valid))
 
@@ -94,7 +122,7 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
     photo = divide_safe(jnp.sum(err * covered), jnp.sum(covered))
     if ssim_weight > 0.0:
         from lsi_tpu.evaluation.metrics import ssim
-        structural = (1.0 - ssim(out["rgb"] * covered, trg32 * covered)) / 2.0
+        structural = (1.0 - ssim(out["rgb"], trg32, mask=covered)) / 2.0
         photo = ssim_weight * structural + (1.0 - ssim_weight) * photo
     if return_diag:
         return photo, {"window_dropped_frac": out["window_dropped_frac"]}
@@ -145,7 +173,8 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
             loss_cfg.inverse_warp_weight
             * view_synthesis_inverse_warp(
                 ldi, target_image, pose_src2trg, K_trg,
-                min_over_layers=loss_cfg.min_over_layers))
+                min_over_layers=loss_cfg.min_over_layers,
+                candidate_radius=loss_cfg.candidate_radius))
     if loss_cfg.photo_mode in ("splat", "both"):
         splat_loss, diag = view_synthesis_splat(
             ldi, target_image, pose_src2trg, render_cfg, K_trg,

@@ -148,6 +148,38 @@ class Trainer:
         self.ckpt = CheckpointManager(self.config.train.checkpoint_dir,
                                       self.config.train.max_to_keep)
         self.step_fn = make_train_step(self.config, self.plan)
+        self._eval_step = None
+        self._eval_iter = None
+
+    def _run_eval(self, state, step: int) -> Dict[str, float]:
+        """In-training held-out eval: metrics to the jsonl (eval_ prefix) +
+        an image grid per eval into the checkpoint dir — a long run's
+        quality trajectory is reconstructable from train.jsonl alone
+        (the reference's tf.summary image logging, SURVEY.md §5)."""
+        from lsi_tpu.evaluation.runner import (build_eval_step,
+                                               eval_data_config,
+                                               export_image_grid)
+        cfg = self.config
+        if self._eval_step is None:
+            self._eval_step = build_eval_step(cfg)
+            self._eval_iter = make_dataset(
+                eval_data_config(cfg.data), seed=cfg.train.seed + 1)
+        sums: Dict[str, float] = {}
+        grid_args = None
+        for i in range(max(1, cfg.train.eval_batches)):
+            batch = next(self._eval_iter)
+            metrics, rendered, pred = self._eval_step(state.params, batch)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            if i == 0:
+                grid_args = (batch, rendered, pred)
+        n = max(1, cfg.train.eval_batches)
+        out = {f"eval_{k}": v / n for k, v in sums.items()}
+        img_dir = os.path.join(cfg.train.checkpoint_dir, "eval_images",
+                               f"step_{step:08d}")
+        export_image_grid(*grid_args, img_dir)
+        self.writer.write(step, out)
+        return out
 
     def train(self, max_steps: Optional[int] = None,
               data_iter=None) -> Tuple[TrainState, Dict[str, Any]]:
@@ -213,6 +245,12 @@ class Trainer:
                     t_last, frames = now, 0
                     self.writer.write(step + 1, metrics)
                     last_metrics = metrics
+
+                if cfg.train.eval_every and (
+                        (step + 1) % cfg.train.eval_every == 0
+                        or step + 1 == max_steps):
+                    eval_metrics = self._run_eval(state, step + 1)
+                    last_metrics.update(eval_metrics)
 
                 if (step + 1) % cfg.train.checkpoint_every == 0 or \
                         step + 1 == max_steps:

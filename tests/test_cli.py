@@ -10,7 +10,10 @@ from lsi_tpu.train.__main__ import apply_override, parse_args
 def test_presets_exist():
     assert set(PRESETS) == {"kitti_ldi2", "synthia_ldi2_splat",
                             "kitti_ldi3_b16", "highres_b64",
-                            "trajectory_sweep", "synthetic_sanity"}
+                            "trajectory_sweep", "synthetic_sanity",
+                            "mpi_baseline", "synthetic_multi"}
+    assert get_config("mpi_baseline").model.family == "mpi"
+    assert get_config("synthetic_multi").data.synthetic_scene == "multi"
     cfg = get_config("kitti_ldi3_b16")
     assert cfg.model.num_layers == 3
     assert cfg.data.batch_size == 16

@@ -111,3 +111,63 @@ def test_synthetic_val_split_disjoint():
         split="val"), seed=0))
     diff = np.abs(np.asarray(tr.src_image) - np.asarray(va.src_image)).max()
     assert diff > 1e-3  # val scenes come from a disjoint seed range
+
+
+def test_multi_scene_photometric_consistency(rng):
+    """Multi-object scenes under SE(3) jitter: an LDI built from the GT
+    visible surface must inverse-warp-match the target image away from
+    disocclusions — an independent cross-check of the analytic renderer
+    against the geometry core (rotation included)."""
+    import jax.numpy as jnp
+
+    from lsi_tpu.geometry.ldi import LDI, gather_target_per_layer
+
+    s = synthetic.make_scene_multi(rng, 48, 96, max_rotation=0.01)
+    ldi = LDI(
+        textures=jnp.asarray(s.src_image)[None, None],
+        disparities=jnp.asarray(s.gt_visible_disparity)[None, None, ..., None],
+        intrinsics=jnp.asarray(s.intrinsics)[None])
+    sampled, valid, _ = gather_target_per_layer(
+        ldi, jnp.asarray(s.trg_image)[None], jnp.asarray(s.pose_src2trg)[None])
+    err = np.abs(np.asarray(sampled[0, 0]) - s.src_image).mean(-1)
+    v = np.asarray(valid[0, 0, ..., 0]) > 0.5
+
+    # exclude pixels near depth edges (occlusion/disocclusion bands)
+    d = s.gt_visible_disparity
+    edge = (np.abs(np.diff(d, axis=1, prepend=d[:, :1])) > 1e-3) | \
+           (np.abs(np.diff(d, axis=0, prepend=d[:1])) > 1e-3)
+    for k in range(1, 5):
+        edge |= np.roll(edge, k, 1) | np.roll(edge, -k, 1)
+        edge |= np.roll(edge, k, 0) | np.roll(edge, -k, 0)
+    keep = v & ~edge
+    assert keep.mean() > 0.3
+    assert err[keep].mean() < 0.03
+
+
+def test_multi_scene_structure(rng):
+    s = synthetic.make_scene_multi(rng, 32, 64, num_boxes=3)
+    # >= 3 distinct visible disparities (boxes + slanted bg continuum)
+    assert len(np.unique(np.round(s.gt_visible_disparity, 3))) >= 3
+    assert s.gt_disparity_layers.shape == (2, 32, 64)
+    # second-surface layer is >= the visible layer in depth (<= in disp)
+    l0, l1 = s.gt_disparity_layers
+    hit2 = l1 > 0
+    assert (l1[hit2] <= l0[hit2] + 1e-6).all()
+    # the pose has rotation
+    assert np.abs(s.pose_src2trg[:3, :3] - np.eye(3)).max() > 1e-5
+
+
+def test_multi_scene_determinism():
+    a = list(synthetic.generate_multi(11, 16, 24, 2))
+    b = list(synthetic.generate_multi(11, 16, 24, 2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.src_image, y.src_image)
+        np.testing.assert_array_equal(x.pose_src2trg, y.pose_src2trg)
+
+
+def test_multi_scene_pipeline():
+    cfg = DataConfig(dataset="synthetic", synthetic_scene="multi",
+                     height=16, width=24, batch_size=2)
+    b = next(make_dataset(cfg, seed=0))
+    assert b.src_image.shape == (2, 16, 24, 3)
+    assert b.trg_gt_disparity.shape == (2, 16, 24, 1)

@@ -61,3 +61,42 @@ def test_video_export(tmp_path, rng):
     assert all(os.path.exists(p) for p in paths)
     gif = save_gif(frames, str(tmp_path / "sweep.gif"))
     assert os.path.getsize(gif) > 0
+
+
+def test_masked_ssim_ignores_holes(rng):
+    """Windowed stats must exclude masked-out pixels: garbage in the holes
+    cannot change the score, and a full mask reproduces plain SSIM."""
+    from lsi_tpu.evaluation.metrics import ssim
+
+    img = jnp.asarray(rng.uniform(size=(1, 40, 40, 3)), jnp.float32)
+    mask = np.ones((1, 40, 40, 1), np.float32)
+    mask[:, 10:20, 10:25] = 0.0
+    mask = jnp.asarray(mask)
+
+    noise = jnp.asarray(rng.uniform(size=(1, 40, 40, 3)), jnp.float32)
+    pred_garbage = jnp.where(mask > 0, img, noise)
+
+    s = float(ssim(pred_garbage, img, mask=mask))
+    assert s > 0.999  # identical wherever it counts
+
+    # full mask == plain ssim
+    a = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    b = jnp.clip(a + 0.05 * rng.standard_normal((1, 32, 32, 3)).astype(
+        np.float32), 0, 1)
+    np.testing.assert_allclose(
+        float(ssim(a, b, mask=jnp.ones((1, 32, 32, 1)))),
+        float(ssim(a, b)), rtol=1e-5)
+
+    # half-mask: the masked score tracks plain SSIM on the valid crop
+    # (boundary windows are renormalized + down-weighted, not poisoned by
+    # zeros as in the old rgb*mask formulation)
+    half = jnp.asarray(
+        np.concatenate([np.zeros((1, 32, 16, 1), np.float32),
+                        np.ones((1, 32, 16, 1), np.float32)], axis=2))
+    a_noisy = jnp.where(half > 0, a, 0.0)
+    b_noisy = jnp.where(half > 0, b, 1.0)  # junk differs in the hole
+    s_masked = float(ssim(a_noisy, b_noisy, mask=half))
+    s_crop = float(ssim(a[:, :, 16:], b[:, :, 16:]))
+    s_zero_fill = float(ssim(a * half, b_noisy * half))
+    assert abs(s_masked - s_crop) < 0.02
+    assert abs(s_masked - s_crop) < abs(s_zero_fill - s_crop)

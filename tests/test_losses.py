@@ -120,3 +120,64 @@ def test_ssim_mixed_splat_loss(rng):
                 intrinsics=ldi.intrinsics), trg2, pose, RenderConfig(),
             ssim_weight=0.85))(ldi.disparities)
     assert np.isfinite(float(val)) and np.isfinite(np.asarray(g)).all()
+
+
+def test_min_over_candidates_forgives_subpixel_offset(rng):
+    """With a slightly wrong pose (sub-pixel correspondence error), the
+    candidate-min variant must find a lower error than the exact-sample
+    loss, and candidate_radius=0 must reproduce the original loss."""
+    from lsi_tpu.data import synthetic
+    from lsi_tpu.geometry.ldi import LDI
+
+    s = synthetic.make_scene(rng, 24, 48, baseline=0.3)
+    ldi = LDI(
+        textures=jnp.asarray(s.src_image)[None, None],
+        disparities=jnp.asarray(
+            s.gt_visible_disparity)[None, None, ..., None],
+        intrinsics=jnp.asarray(s.intrinsics)[None])
+    trg = jnp.asarray(s.trg_image)[None]
+    pose = jnp.asarray(s.pose_src2trg)[None]
+    # perturb the pose: +0.6 px horizontal error at disparity ~0.3
+    pose_bad = pose.at[0, 0, 3].add(0.6 / (0.95 * 48) / 0.3)
+
+    base = float(view_synthesis_inverse_warp(ldi, trg, pose_bad))
+    cand = float(view_synthesis_inverse_warp(ldi, trg, pose_bad,
+                                             candidate_radius=1))
+    assert cand < base * 0.8
+
+    exact0 = float(view_synthesis_inverse_warp(ldi, trg, pose))
+    # r=0 path == the default path exactly
+    np.testing.assert_allclose(
+        float(view_synthesis_inverse_warp(ldi, trg, pose,
+                                          candidate_radius=0)), exact0)
+    # with the TRUE pose, candidates cannot make a perfect loss worse
+    cand0 = float(view_synthesis_inverse_warp(ldi, trg, pose,
+                                              candidate_radius=1))
+    assert cand0 <= exact0 + 1e-6
+
+
+def test_min_over_candidates_avg_layers_grads(rng):
+    """Candidate variant works with min_over_layers=False and is
+    differentiable."""
+    from lsi_tpu.data import synthetic
+    from lsi_tpu.geometry.ldi import LDI
+
+    s = synthetic.make_scene(rng, 16, 32)
+    disp = jnp.asarray(s.gt_visible_disparity)[None, None, ..., None]
+    ldi = LDI(
+        textures=jnp.asarray(s.src_image)[None, None],
+        disparities=disp,
+        intrinsics=jnp.asarray(s.intrinsics)[None])
+    trg = jnp.asarray(s.trg_image)[None]
+    pose = jnp.asarray(s.pose_src2trg)[None]
+
+    def loss_of_disp(d):
+        l2 = LDI(textures=ldi.textures, disparities=d,
+                 intrinsics=ldi.intrinsics)
+        return view_synthesis_inverse_warp(
+            l2, trg, pose, min_over_layers=False, candidate_radius=1)
+
+    val = float(loss_of_disp(disp))
+    g = jax.grad(loss_of_disp)(disp)
+    assert np.isfinite(val)
+    assert np.isfinite(np.asarray(g)).all()

@@ -104,3 +104,25 @@ def test_nan_guard_does_not_poison_resume(tmp_path):
     assert t.ckpt.latest_step() is None
     # … but the debug dump exists for post-mortem
     assert glob.glob(str(ckpt / "nan_debug_params_step*.npz"))
+
+
+def test_in_training_eval_and_image_dumps(tmp_path):
+    """eval_every runs a held-out eval inside the loop: eval_* metrics land
+    in train.jsonl and an image grid is dumped per eval (VERDICT r1 #8)."""
+    ckpt = tmp_path / "ckpt_eval"
+    cfg = tiny_config(ckpt).replace(
+        train=TrainConfig(learning_rate=1e-3, warmup_steps=2, max_steps=6,
+                          checkpoint_dir=str(ckpt), log_every=2,
+                          checkpoint_every=6, eval_every=3, eval_batches=2,
+                          seed=0))
+    t = Trainer(cfg)
+    state, metrics = t.train()
+    assert "eval_psnr" in metrics
+    assert np.isfinite(metrics["eval_psnr"])
+
+    recs = [json.loads(line) for line in open(str(ckpt / "train.jsonl"))]
+    eval_steps = [r["step"] for r in recs if "eval_psnr" in r]
+    assert eval_steps == [3, 6]
+    for s in (3, 6):
+        grid = ckpt / "eval_images" / f"step_{s:08d}" / "eval_grid.png"
+        assert grid.exists(), grid
