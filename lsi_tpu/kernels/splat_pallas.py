@@ -46,6 +46,44 @@ DEFAULT_MAX_DX = 128
 DEFAULT_MAX_DY = 4
 
 
+def _tile_geometry(out_h: int, out_w: int, max_dx: int, max_dy: int):
+    """Shared fwd/bwd tiling: column tile width under a ~8 MB VMEM budget
+    for the resident (h2, 8ch, tile_w) f32 block, padded output extents."""
+    pad_y = max_dy + 1
+    h2 = out_h + 2 * pad_y
+    budget = 8 * 1024 * 1024
+    tile_w = 128
+    for cand in (512, 256):
+        if out_w >= cand and h2 * 8 * cand * 4 * 2 <= budget:
+            tile_w = cand
+            break
+    pad_x = max_dx + 1
+    wpad = out_w + 2 * pad_x
+    wpad = ((wpad + tile_w - 1) // tile_w) * tile_w
+    return tile_w, wpad, pad_x, pad_y, h2, wpad // tile_w
+
+
+def _fold_coords(coords: jnp.ndarray, out_h: int, wpad: int, pad_x: int,
+                 max_dy: int):
+    """Fraction-carrying folded coordinates shared by fwd and bwd kernels.
+
+    xt: padded-space target column (clipped integer part + snapped frac).
+    yt: vertical displacement from the source row's base row (row % out_h),
+        clipped just outside the dy window + snapped frac.
+    """
+    hs = coords.shape[1]
+    x = coords[..., 0].astype(jnp.float32)
+    y = coords[..., 1].astype(jnp.float32)
+    x0 = jnp.floor(x)
+    xt = (jnp.clip(x0, -2.0 * wpad, 2.0 * wpad) + pad_x
+          + snap_fraction(x - x0))
+    base_row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
+    y0 = jnp.floor(y)
+    yt = (jnp.clip(y0 - base_row, -(max_dy + 2.0), max_dy + 2.0)
+          + snap_fraction(y - y0))
+    return xt, yt
+
+
 def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
                   block_rows: int, ho: int, max_dy: int, pad_x: int,
                   pad_y: int, tile_w: int, bf16_matmul: bool):
@@ -152,42 +190,23 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     if block_rows < 1:
         raise ValueError(f"no valid block_rows for rows {hs}/{out_h}")
     c1 = c + 1
-    pad_y = max_dy + 1
-    h2 = out_h + 2 * pad_y
-
     # Column tiling: the widest tile whose double-buffered accumulator
     # (h2 x 8-padded channels x tile_w f32) fits a ~8 MB VMEM budget —
     # wider tiles cut grid-step count and input re-fetch, but the
     # accumulator height scales with the output height (512x1536 needs
     # narrower tiles than 256x768).
-    budget = 8 * 1024 * 1024
-    tile_w = 128
-    for cand in (512, 256):
-        if out_w >= cand and h2 * 8 * cand * 4 * 2 <= budget:
-            tile_w = cand
-            break
-    pad_x = max_dx + 1
-    wpad = out_w + 2 * pad_x
-    wpad = ((wpad + tile_w - 1) // tile_w) * tile_w
-    num_tiles = wpad // tile_w
+    tile_w, wpad, pad_x, pad_y, h2, num_tiles = _tile_geometry(
+        out_h, out_w, max_dx, max_dy)
 
     w32 = weights.astype(jnp.float32)
     payload = jnp.concatenate(
         [values.astype(jnp.float32) * w32, w32], axis=-1)
     payload = jnp.moveaxis(payload, -1, -2)  # (N, Hs, C1, Ws) channel-minor
 
-    x = coords[..., 0].astype(jnp.float32)
-    y = coords[..., 1].astype(jnp.float32)
     # Fraction-carrying target coordinates for the in-kernel tents. The
     # integer part is computed/clipped separately so padding cannot perturb
     # the (snapped) fraction; far-out values land in the tent's dead zone.
-    x0 = jnp.floor(x)
-    xt = (jnp.clip(x0, -2.0 * wpad, 2.0 * wpad) + pad_x
-          + snap_fraction(x - x0))
-    base_row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
-    y0 = jnp.floor(y)
-    yt = (jnp.clip(y0 - base_row, -(max_dy + 2.0), max_dy + 2.0)
-          + snap_fraction(y - y0))
+    xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy)
 
     grid = (n, num_tiles, hs // block_rows)
     kernel = functools.partial(
@@ -222,6 +241,139 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     interior = out[:, pad_y:pad_y + out_h, :, pad_x:pad_x + out_w]
     interior = jnp.moveaxis(interior, 2, 3)
     return interior[..., :c], interior[..., c:]
+
+
+def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
+                      block_rows: int, ho: int, max_dy: int, pad_y: int,
+                      tile_w: int):
+    """One grid step of the splat BACKWARD: tent-matmul gathers of the
+    cotangent for `block_rows` source rows against this column tile.
+
+    The VJP of the tent-matmul scatter is the transposed tent-matmul — the
+    same MXU contraction as the forward instead of 8 serialized XLA gathers
+    (which measured 215 ms vs the 16 ms forward at 256x768 b8; docs/perf.md
+    §7). One matmul per source row computes BOTH the tent-weighted sums
+    (payload cotangent) and the tent'-weighted sums (the coordinate
+    gradient), horizontally and vertically:
+
+      S0[ch, i] = sum_dy rw(dy)  * sum_c tent(c - x_i)  * cot[r+dy, ch, c]
+      SX[ch, i] = sum_dy rw(dy)  * sum_c tent'(c - x_i) * cot[r+dy, ch, c]
+      SY[ch, i] = sum_dy rw'(dy) * sum_c tent(c - x_i)  * cot[r+dy, ch, c]
+
+    cot_ref:  (h2, C1, tile_w) resident padded-cotangent column tile.
+    out_ref:  (block_rows, 3, C1, Ws) accumulated over column tiles (the
+              grid's t axis is innermost; zeroed at t == 0).
+    """
+    t = pl.program_id(2)
+    j = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ws = xt_ref.shape[1]
+    c1 = cot_ref.shape[1]
+    ndy = 2 * max_dy + 2
+    r_base = (j * block_rows) % ho
+    col0 = t * tile_w
+
+    col_f = jax.lax.broadcasted_iota(
+        jnp.int32, (ws, tile_w), 1).astype(jnp.float32)
+    dy_f = jax.lax.broadcasted_iota(
+        jnp.int32, (ndy, ws), 0).astype(jnp.float32) - max_dy
+
+    def row_body(s, _):
+        xt = xt_ref[s] - col0             # (Ws,) local fractional column
+        yt = yt_ref[s]                    # (Ws,)
+
+        u = col_f - xt[:, None]           # (Ws, tile_w)
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(u))
+        ap = jnp.sign(u) * (jnp.abs(u) < 1.0)      # d tent / d x
+        a_all = jnp.concatenate([a, ap], axis=0)   # (2Ws, tile_w)
+
+        uy = dy_f - yt[None, :]           # (NDY, Ws)
+        rw = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
+        rwp = jnp.sign(uy) * (jnp.abs(uy) < 1.0)   # d tent / d y
+
+        row0 = r_base + s - max_dy + pad_y
+        cot = cot_ref[pl.ds(row0, ndy), :, :].reshape(ndy * c1, tile_w)
+        m = jax.lax.dot_general(
+            cot, a_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (NDY*C1, 2Ws)
+        m = m.reshape(ndy, c1, 2, ws)
+
+        s0 = jnp.sum(rw[:, None, :] * m[:, :, 0, :], axis=0)   # (C1, Ws)
+        sx = jnp.sum(rw[:, None, :] * m[:, :, 1, :], axis=0)
+        sy = jnp.sum(rwp[:, None, :] * m[:, :, 0, :], axis=0)
+        res = jnp.stack([s0, sx, sy])[None]        # (1, 3, C1, Ws)
+        cur = out_ref[pl.ds(s, 1)]
+        out_ref[pl.ds(s, 1)] = cur + res
+        return 0
+
+    jax.lax.fori_loop(0, block_rows, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "max_dx", "max_dy",
+                                             "block_rows"))
+def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
+                          out_hw, max_dx: int = DEFAULT_MAX_DX,
+                          max_dy: int = DEFAULT_MAX_DY,
+                          block_rows: int = 32) -> jnp.ndarray:
+    """Tent-matmul cotangent sums for the splat backward (see kernel doc).
+
+    Args:
+      cot_payload: (N, Ho, Wo, C1) f32 — [d_accum (C ch), d_wsum (1 ch)].
+      coords:      (N, Hs, Ws, 2) the FORWARD's target coordinates.
+    Returns:
+      (N, Hs, 3, C1, Ws) f32 — [S0, SX, SY] per source pixel,
+      channel-minor (combine in this layout; avoid 5-D transposes).
+    """
+    out_h, out_w = out_hw
+    n, ho, wo, c1 = cot_payload.shape
+    _, hs, ws, _ = coords.shape
+    if hs % out_h:
+        raise ValueError(f"folded-row contract: {hs} % {out_h} != 0")
+    while hs % block_rows or out_h % block_rows:
+        block_rows //= 2
+    if block_rows < 1:
+        raise ValueError(f"no valid block_rows for rows {hs}/{out_h}")
+
+    tile_w, wpad, pad_x, pad_y, h2, num_tiles = _tile_geometry(
+        out_h, out_w, max_dx, max_dy)
+
+    cotp = jnp.pad(cot_payload.astype(jnp.float32),
+                   ((0, 0), (pad_y, h2 - out_h - pad_y),
+                    (pad_x, wpad - out_w - pad_x), (0, 0)))
+    cotp = jnp.moveaxis(cotp, -1, -2)  # (N, h2, C1, Wpad) channel-minor
+
+    xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy)
+
+    grid = (n, hs // block_rows, num_tiles)
+    kernel = functools.partial(
+        _splat_bwd_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
+        pad_y=pad_y, tile_w=tile_w)
+
+    row_spec = pl.BlockSpec((None, block_rows, ws),
+                            lambda i, j, t: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec((None, h2, c1, tile_w),
+                         lambda i, j, t: (i, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, block_rows, 3, c1, ws), lambda i, j, t: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hs, 3, c1, ws), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(xt, yt, cotp)
 
 
 def _gather_corner(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
@@ -263,6 +415,50 @@ def _fwd(values, coords, weights, out_hw, max_dx, max_dy, block_rows):
 
 
 def _bwd(out_hw, max_dx, max_dy, block_rows, res, cot):
+    """Backward dispatch: tent-matmul kernel (default) or the XLA-gather
+    reference implementation (LSI_TPU_SPLAT_BWD=gather — kept as the
+    oracle; the two are asserted equivalent in tests/test_pallas.py)."""
+    import os
+    if os.environ.get("LSI_TPU_SPLAT_BWD") == "gather":
+        return _bwd_gather(out_hw, max_dx, max_dy, res, cot)
+    values, coords, weights = res
+    ga, gw = cot  # (N, Ho, Wo, C), (N, Ho, Wo, 1)
+    n, hs, ws, c = values.shape
+
+    cot_payload = jnp.concatenate(
+        [ga.astype(jnp.float32), gw.astype(jnp.float32)], axis=-1)
+    # The backward is traced when autodiff builds the pullback — typically
+    # OUTSIDE any force_tpu_interpret_mode() the caller wrapped the forward
+    # in — so off-TPU (CPU tests) we enter interpret mode ourselves.
+    if jax.default_backend() != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            s = splat_pallas_bwd_sums(cot_payload, coords, out_hw,
+                                      max_dx=max_dx, max_dy=max_dy,
+                                      block_rows=block_rows)
+    else:
+        s = splat_pallas_bwd_sums(cot_payload, coords, out_hw,
+                                  max_dx=max_dx, max_dy=max_dy,
+                                  block_rows=block_rows)  # (N,Hs,3,C1,Ws)
+    s0, sx, sy = s[:, :, 0], s[:, :, 1], s[:, :, 2]   # (N,Hs,C1,Ws)
+
+    # Combine in the kernel's channel-minor layout; transpose only the
+    # C-sized results back.
+    vm = jnp.moveaxis(values.astype(jnp.float32), -1, -2)   # (N,Hs,C,Ws)
+    wm = jnp.moveaxis(weights.astype(jnp.float32), -1, -2)  # (N,Hs,1,Ws)
+
+    d_values = jnp.moveaxis(wm * s0[:, :, :c], -2, -1)
+    d_weights = jnp.moveaxis(
+        jnp.sum(vm * s0[:, :, :c], axis=2, keepdims=True) + s0[:, :, c:],
+        -2, -1)
+    gx = wm[:, :, 0] * (jnp.sum(vm * sx[:, :, :c], axis=2) + sx[:, :, c])
+    gy = wm[:, :, 0] * (jnp.sum(vm * sy[:, :, :c], axis=2) + sy[:, :, c])
+    d_coords = jnp.stack([gx, gy], axis=-1)
+
+    return (d_values.astype(values.dtype), d_coords.astype(coords.dtype),
+            d_weights.astype(weights.dtype))
+
+
+def _bwd_gather(out_hw, max_dx, max_dy, res, cot):
     values, coords, weights = res
     ga, gw = cot  # (N, Ho, Wo, C), (N, Ho, Wo, 1)
     out_h, _ = out_hw

@@ -15,8 +15,11 @@ Usage: python scripts/bench_train_vjp.py [iters]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -115,7 +118,11 @@ def main(iters=3):
     timed("loss fwd (model+render+loss)", lf, img, state.params, iters=iters)
 
     def train_body(im, s):
-        new_s, metrics = step_fn(s, batch)
+        # tie the batch to the carry so the step can't be hoisted out of
+        # the timing scan
+        b2 = Batch(src_image=im, trg_image=trg, intrinsics=K,
+                   pose_src2trg=pose)
+        new_s, metrics = step_fn(s, b2)
         del new_s
         return metrics["total"]
     tstep = loop(train_body)

@@ -341,3 +341,35 @@ def test_window_guard_flags_truncation(rng, monkeypatch):
             api_render(ldi, pose_bad,
                        config=RenderConfig(use_pallas="on",
                                            zbuffer_scale=20.0))
+
+
+def test_bwd_kernel_matches_gather_impl(rng, monkeypatch):
+    """The tent-matmul backward kernel == the XLA-gather reference backward
+    on multi-layer cases with OOB coords and snapped fractions."""
+    from jax.experimental.pallas import tpu as pltpu
+    from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
+
+    vals, coords, wts, out_hw = make_case(rng, n=2, layers=2, h=16, w=128,
+                                          max_shift=10, jitter_y=1.5)
+    # inject exactly-integer coords to hit the snap/zero-grad zones
+    coords = coords.at[:, :3, :5, 0].set(7.0)
+    coords = coords.at[:, 1, :, 1].set(2.0)
+
+    def grads():
+        def loss(v, c, w):
+            if INTERPRET:
+                with pltpu.force_tpu_interpret_mode():
+                    a, s = splat_pallas_diff(v, c, w, out_hw, 16, 2, 8)
+            else:
+                a, s = splat_pallas_diff(v, c, w, out_hw, 16, 2, 8)
+            return jnp.sum(a ** 2) + 2.0 * jnp.sum(s ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(vals, coords, wts)
+
+    monkeypatch.setenv("LSI_TPU_SPLAT_BWD", "gather")
+    g_ref = grads()
+    monkeypatch.delenv("LSI_TPU_SPLAT_BWD")
+    g_ker = grads()
+    # tolerances: f32 accumulation-order noise (matmul-sum vs gather-sum)
+    for a, b, name in zip(g_ker, g_ref, ("values", "coords", "weights")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4, err_msg=name)
