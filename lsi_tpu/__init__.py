@@ -22,6 +22,31 @@ so module-path citations stand in for file:line (see SURVEY.md §0).
 
 __version__ = "0.1.0"
 
-from lsi_tpu.api import predict_ldi, render, LSIModel  # noqa: F401
-from lsi_tpu.geometry.ldi import LDI  # noqa: F401
-from lsi_tpu.config import Config, RenderConfig, ModelConfig  # noqa: F401
+# Lazy public API (PEP 562): importing the package must not drag in the
+# JAX runtime — data-pipeline worker processes import pure-numpy submodules
+# (lsi_tpu.data.synthetic) and must stay lightweight, and `import lsi_tpu`
+# from tooling/scripts should not pay (or race for) accelerator init.
+_EXPORTS = {
+    "predict_ldi": ("lsi_tpu.api", "predict_ldi"),
+    "render": ("lsi_tpu.api", "render"),
+    "LSIModel": ("lsi_tpu.api", "LSIModel"),
+    "LDI": ("lsi_tpu.geometry.ldi", "LDI"),
+    "Config": ("lsi_tpu.config", "Config"),
+    "RenderConfig": ("lsi_tpu.config", "RenderConfig"),
+    "ModelConfig": ("lsi_tpu.config", "ModelConfig"),
+}
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        module, attr = _EXPORTS[name]
+        value = getattr(importlib.import_module(module), attr)
+        globals()[name] = value  # cache: later lookups skip __getattr__
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

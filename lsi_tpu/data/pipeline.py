@@ -46,29 +46,29 @@ def _example_stream(cfg: DataConfig, seed: int, repeat: bool):
         # scenes are drawn from generator streams a train run never visits.
         if cfg.split == "val":
             seed = seed + 0x5EED_0FF5
-        make = (synthetic.make_scene_multi
-                if getattr(cfg, "synthetic_scene", "two_plane") == "multi"
-                else synthetic.make_scene)
-        epoch = 0
-        while True:
-            rng = np.random.default_rng(seed + epoch)
-            for _ in range(1024):
-                s = make(rng, cfg.height, cfg.width)
-                yield {
-                    "src_image": s.src_image,
-                    "trg_image": s.trg_image,
-                    "intrinsics": s.intrinsics,
-                    "pose_src2trg": s.pose_src2trg,
-                    "gt_disparity": s.gt_visible_disparity[..., None],
-                    "gt_valid": np.ones(
-                        (cfg.height, cfg.width, 1), np.float32),
-                    "trg_gt_disparity": s.gt_trg_disparity[..., None],
-                    "trg_gt_valid": np.ones(
-                        (cfg.height, cfg.width, 1), np.float32),
-                }
-            if not repeat:
-                return
-            epoch += 1
+        kind = getattr(cfg, "synthetic_scene", "two_plane")
+
+        def keys():
+            epoch = 0
+            while True:
+                for i in range(1024):
+                    yield (epoch, i)
+                if not repeat:
+                    return
+                epoch += 1
+
+        # Sequential generation, overlapped with device compute by the
+        # _Prefetcher fill thread. Parallel generation was measured and
+        # REJECTED on this host: threads don't scale (the numpy scene
+        # renderers hold the GIL) and process pools lose outright (the
+        # parent-side result unpickle serializes at > the per-scene cost —
+        # 47 -> 38 scenes/s with 4 procs at 128x256). The win came from
+        # vectorizing the renderer itself (222 -> 21 ms/scene; see
+        # data/synthetic.py). Per-index seeding is kept so the stream is a
+        # pure function of (seed, epoch, index).
+        for epoch, i in keys():
+            yield synthetic.scene_example(kind, seed, epoch, i,
+                                          cfg.height, cfg.width)
     elif cfg.dataset == "kitti":
         from lsi_tpu.data import kitti
         yield from kitti.example_stream(cfg, seed, repeat)

@@ -31,22 +31,31 @@ class SyntheticScene:
                                   # THE TARGET VIEW (occluded-region eval)
 
 
+def _lin_weights(n_out: int, cells: int) -> np.ndarray:
+    """(n_out, cells) bilinear-upsample weight matrix (rows sum to 1)."""
+    pos = np.linspace(0, cells - 1, n_out).astype(np.float32)
+    i0 = np.floor(pos).astype(np.int32)
+    i1 = np.minimum(i0 + 1, cells - 1)
+    f = pos - i0
+    a = np.zeros((n_out, cells), np.float32)
+    rows = np.arange(n_out)
+    a[rows, i0] += 1.0 - f
+    a[rows, i1] += f
+    return a
+
+
 def _texture(rng: np.random.Generator, h: int, w: int, cells: int = 8):
-    """Smooth random color texture (upsampled low-res noise)."""
+    """Smooth random color texture (upsampled low-res noise).
+
+    Separable bilinear upsample as two small GEMMs — the per-pixel fancy
+    indexing this replaces dominated host-side scene generation.
+    """
     low = rng.uniform(0.05, 0.95, (cells, cells, 3)).astype(np.float32)
-    ys = np.linspace(0, cells - 1, h)
-    xs = np.linspace(0, cells - 1, w)
-    y0 = np.floor(ys).astype(int)
-    x0 = np.floor(xs).astype(int)
-    fy = (ys - y0)[:, None, None]
-    fx = (xs - x0)[None, :, None]
-    y1 = np.minimum(y0 + 1, cells - 1)
-    x1 = np.minimum(x0 + 1, cells - 1)
-    out = ((1 - fy) * (1 - fx) * low[y0][:, x0]
-           + (1 - fy) * fx * low[y0][:, x1]
-           + fy * (1 - fx) * low[y1][:, x0]
-           + fy * fx * low[y1][:, x1])
-    return out.astype(np.float32)
+    ay = _lin_weights(h, cells)
+    ax = _lin_weights(w, cells)
+    tmp = np.tensordot(ay, low, axes=(1, 0))            # (h, cells, 3)
+    out = np.tensordot(tmp, ax, axes=(1, 1))            # (h, 3, w)
+    return np.ascontiguousarray(out.transpose(0, 2, 1))
 
 
 def _render_view(bg_tex, fg_tex, fg_box, bg_depth, fg_depth, K, tx, h, w):
@@ -150,18 +159,49 @@ def _euler_rotation(rx: float, ry: float, rz: float) -> np.ndarray:
 
 
 def _bilinear_np(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Sample (H, W, 3) texture at float pixel coords (clamped)."""
+    """Sample (H, W, C) texture at float pixel coords (clamped).
+
+    Flat linear-index gathers: numpy's multi-array fancy indexing takes a
+    slow pair-index path that dominated scene generation.
+    """
     h, w = tex.shape[:2]
-    u = np.clip(u, 0.0, w - 1.0)
-    v = np.clip(v, 0.0, h - 1.0)
-    u0 = np.floor(u).astype(int)
-    v0 = np.floor(v).astype(int)
+    u = np.clip(u.astype(np.float32), 0.0, w - 1.0)
+    v = np.clip(v.astype(np.float32), 0.0, h - 1.0)
+    u0 = u.astype(np.int32)          # == floor for non-negative coords
+    v0 = v.astype(np.int32)
     u1 = np.minimum(u0 + 1, w - 1)
     v1 = np.minimum(v0 + 1, h - 1)
     fu = (u - u0)[..., None]
     fv = (v - v0)[..., None]
-    return ((1 - fv) * ((1 - fu) * tex[v0, u0] + fu * tex[v0, u1])
-            + fv * ((1 - fu) * tex[v1, u0] + fu * tex[v1, u1]))
+    flat = tex.reshape(-1, tex.shape[-1])
+    r0 = v0 * w
+    r1 = v1 * w
+    return ((1 - fv) * ((1 - fu) * flat[r0 + u0] + fu * flat[r0 + u1])
+            + fv * ((1 - fu) * flat[r1 + u0] + fu * flat[r1 + u1]))
+
+
+def _box_view_bbox(box, offset, K, R, t, h, w):
+    """Integer view-image bbox (r0, r1, c0, c1) covering a fronto-parallel
+    canonical plane patch (n=(0,0,1), z=offset, pixel rect ``box``) as seen
+    from the view camera, or the full image if any corner is near/behind
+    the camera. A planar quad projects to a quad; the corner bbox (+1 px
+    bilinear margin) contains every pixel the patch can cover."""
+    y0, y1, x0, x1 = box
+    corners_pix = np.array([[x0, x0, x1, x1],
+                            [y0, y1, y0, y1],
+                            [1, 1, 1, 1]], np.float32)
+    corners_c = offset * (np.linalg.inv(K).astype(np.float32) @ corners_pix)
+    corners_v = R @ corners_c + t[:, None]          # (3, 4) view frame
+    z = corners_v[2]
+    if (z <= 1e-3).any():
+        return 0, h, 0, w
+    u = (K[0, 0] * corners_v[0] + K[0, 2] * z) / z
+    v = (K[1, 1] * corners_v[1] + K[1, 2] * z) / z
+    c0 = max(0, int(np.floor(u.min())) - 1)
+    c1 = min(w, int(np.ceil(u.max())) + 2)
+    r0 = max(0, int(np.floor(v.min())) - 1)
+    r1 = min(h, int(np.ceil(v.max())) + 2)
+    return r0, r1, c0, c1
 
 
 def _render_planes(planes, K, pose_c2v, h, w, num_hit_layers=2):
@@ -172,52 +212,84 @@ def _render_planes(planes, K, pose_c2v, h, w, num_hit_layers=2):
     CANONICAL camera's image (pixel rect of the plane's canonical
     projection). Returns (rgb, disparity of nearest hit, disparity of k-th
     hit for k < num_hit_layers).
+
+    Host-side hot path (feeds the TPU): float32 throughout, box planes
+    evaluated only inside their projected view bbox, visibility via two
+    argmin passes (not a full sort), and each plane's texture sampled only
+    at the pixels it wins.
     """
-    R = pose_c2v[:3, :3]
-    t = pose_c2v[:3, 3]
+    R = pose_c2v[:3, :3].astype(np.float32)
+    t = pose_c2v[:3, 3].astype(np.float32)
     Kinv = np.linalg.inv(K).astype(np.float32)
+    fx, fy = np.float32(K[0, 0]), np.float32(K[1, 1])
+    cx, cy = np.float32(K[0, 2]), np.float32(K[1, 2])
 
     ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
     rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T  # view frame
     # canonical-frame ray: p_c = R^T (s * ray - t)
     rays_c = rays @ R  # == R^T applied to each ray
-    t_c = R.T @ t
+    t_c = (R.T @ t).astype(np.float32)
+    rz = np.ascontiguousarray(rays[..., 2])
 
-    hits = []  # (depth_view, rgb, valid) per plane
-    for pl in planes:
-        n = pl["normal"]
-        denom = rays_c @ n
-        denom = np.where(np.abs(denom) < 1e-9, 1e-9, denom)
-        s = (pl["offset"] + n @ t_c) / denom  # distance along view ray
-        z_view = s * rays[..., 2]
-        p_c = s[..., None] * rays_c - t_c          # canonical-frame point
-        uc = p_c @ K.T
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = uc[..., 0] / uc[..., 2]
-            v = uc[..., 1] / uc[..., 2]
-        valid = (z_view > 0.1) & (uc[..., 2] > 1e-6)
+    num_p = len(planes)
+    depth = np.full((num_p, h, w), np.inf, np.float32)
+    plane_uv = [None] * num_p  # (r0, r1, c0, c1, u, v) per plane
+    for pi, pl in enumerate(planes):
+        if pl["box"] is None:
+            r0, r1, c0, c1 = 0, h, 0, w
+        else:
+            r0, r1, c0, c1 = _box_view_bbox(
+                pl["box"], np.float32(pl["offset"]), K, R, t, h, w)
+            if r0 >= r1 or c0 >= c1:
+                continue
+        rc = rays_c[r0:r1, c0:c1]
+        n = pl["normal"].astype(np.float32)
+        denom = rc @ n
+        denom = np.where(np.abs(denom) < 1e-9, np.float32(1e-9), denom)
+        s = (np.float32(pl["offset"]) + n @ t_c) / denom
+        z_view = s * rz[r0:r1, c0:c1]
+        pz = s * rc[..., 2] - t_c[2]
+        pzc = np.where(np.abs(pz) < 1e-9, np.float32(1e-9), pz)
+        u = (fx * (s * rc[..., 0] - t_c[0]) + cx * pz) / pzc
+        v = (fy * (s * rc[..., 1] - t_c[1]) + cy * pz) / pzc
+        valid = (z_view > 0.1) & (pz > 1e-6)
         if pl["box"] is not None:
             y0, y1, x0, x1 = pl["box"]
             valid &= (u >= x0) & (u < x1) & (v >= y0) & (v < y1)
-        rgb = _bilinear_np(pl["tex"], np.nan_to_num(u), np.nan_to_num(v))
-        hits.append((np.where(valid, z_view, np.inf), rgb))
+        depth[pi, r0:r1, c0:c1] = np.where(valid, z_view, np.inf)
+        plane_uv[pi] = (r0, r1, c0, c1, u, v)
 
-    depth_stack = np.stack([d for d, _ in hits])        # (P, H, W)
-    order = np.argsort(depth_stack, axis=0)             # near -> far
-    nearest = np.take_along_axis(depth_stack, order[:1], axis=0)[0]
-    rgb_stack = np.stack([c for _, c in hits])          # (P, H, W, 3)
-    idx = order[0][None, ..., None]
-    img = np.take_along_axis(rgb_stack, idx, axis=0)[0]
+    # Visibility: nearest + k-th nearest by repeated masked argmin.
+    flat = depth.reshape(num_p, -1)
+    win = np.argmin(flat, axis=0)                       # (H*W,)
+    cols = np.arange(h * w)
+    nearest = flat[win, cols].reshape(h, w)
+    layers = [np.where(np.isfinite(nearest), 1.0 / nearest, 0.0)]
+    if num_hit_layers > 1:
+        flat2 = flat.copy()
+        prev = win
+        for _ in range(num_hit_layers - 1):
+            flat2[prev, cols] = np.inf
+            prev = np.argmin(flat2, axis=0)
+            dk = flat2[prev, cols].reshape(h, w)
+            layers.append(np.where(np.isfinite(dk), 1.0 / dk, 0.0))
 
-    layers = []
-    for k in range(num_hit_layers):
-        kk = min(k, depth_stack.shape[0] - 1)
-        dk = np.take_along_axis(depth_stack, order[kk:kk + 1], axis=0)[0]
-        layers.append(np.where(np.isfinite(dk), 1.0 / dk, 0.0))
-    disp = np.where(np.isfinite(nearest), 1.0 / nearest, 0.0)
+    # Texture: sample each plane only where it wins.
+    img = np.zeros((h, w, 3), np.float32)
+    win2d = win.reshape(h, w)
+    covered = np.isfinite(nearest)
+    for pi, pl in enumerate(planes):
+        if plane_uv[pi] is None:
+            continue
+        r0, r1, c0, c1, u, v = plane_uv[pi]
+        m = (win2d[r0:r1, c0:c1] == pi) & covered[r0:r1, c0:c1]
+        if not m.any():
+            continue
+        img[r0:r1, c0:c1][m] = _bilinear_np(pl["tex"], u[m], v[m])
+    disp = layers[0]
     return (img.astype(np.float32), disp.astype(np.float32),
-            np.stack(layers).astype(np.float32))
+            np.stack(layers[:num_hit_layers]).astype(np.float32))
 
 
 def make_scene_multi(rng: np.random.Generator, height: int, width: int,
@@ -288,3 +360,29 @@ def generate_multi(seed: int, height: int, width: int, count: int, **kw):
     rng = np.random.default_rng(seed)
     for _ in range(count):
         yield make_scene_multi(rng, height, width, **kw)
+
+
+def scene_example(kind: str, seed: int, epoch: int, index: int,
+                  height: int, width: int) -> dict:
+    """One pipeline example dict, seeded by (seed, epoch, index) alone.
+
+    Top-level and numpy-only so process-pool workers can run it by module
+    reference without importing the JAX runtime (lsi_tpu's package inits
+    are lazy for exactly this). The per-index seeding makes the stream
+    content independent of worker count and scheduling order.
+    """
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed & 0xFFFFFFFF, epoch, index]))
+    make = make_scene_multi if kind == "multi" else make_scene
+    s = make(rng, height, width)
+    ones = np.ones((height, width, 1), np.float32)
+    return {
+        "src_image": s.src_image,
+        "trg_image": s.trg_image,
+        "intrinsics": s.intrinsics,
+        "pose_src2trg": s.pose_src2trg,
+        "gt_disparity": s.gt_visible_disparity[..., None],
+        "gt_valid": ones,
+        "trg_gt_disparity": s.gt_trg_disparity[..., None],
+        "trg_gt_valid": ones,
+    }

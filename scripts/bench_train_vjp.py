@@ -105,6 +105,25 @@ def main(iters=3):
     rvjp = loop(render_vjp_body)
     timed("render fwd+VJP (pallas)", rvjp, tex, disp, K, pose, iters=iters)
 
+    # 3b. gather direction (inverse-warp): fwd and fwd+VJP into the
+    # disparities (the coordinate-gradient path that trains depth).
+    def gather_body(t, d, kk, p):
+        from lsi_tpu.geometry.ldi import LDI, gather_target_per_layer_folded
+        ldi = LDI(textures=t, disparities=d, intrinsics=kk)
+        sampled, valid, _ = gather_target_per_layer_folded(ldi, trg, p)
+        return jnp.mean(sampled * valid)
+    gfwd = loop(gather_body)
+    timed("gather fwd (inverse-warp)", gfwd, tex, disp, K, pose, iters=iters)
+
+    def gather_vjp_body(t, d, kk, p):
+        f = lambda dd: gather_body(t, dd, kk, p)
+        val, pull = jax.vjp(f, d)
+        (gd_,) = pull(jnp.ones_like(val))
+        return val + jnp.mean(gd_)
+    gvjp = loop(gather_vjp_body)
+    timed("gather fwd+VJP (inverse-warp)", gvjp, tex, disp, K, pose,
+          iters=iters)
+
     # 4/5. loss fwd and full train step
     batch = Batch(src_image=img, trg_image=trg, intrinsics=K,
                   pose_src2trg=pose)
