@@ -271,18 +271,39 @@ def project_layers_folded(ldi: LDI, pose_src2trg: jnp.ndarray,
 def gather_target_per_layer_folded(ldi: LDI,
                                    target_image: jnp.ndarray,
                                    pose_src2trg: jnp.ndarray,
-                                   K_trg: Optional[jnp.ndarray] = None):
+                                   K_trg: Optional[jnp.ndarray] = None,
+                                   use_pallas="off",
+                                   pallas_max_dy: int = 2):
     """Folded (B*L, H, W, C) variant of :func:`gather_target_per_layer`.
 
     The loss hot path uses this form: all elementwise work stays on 4-D
     tensors (5-D intermediates provoke pathological TPU layouts); callers
     reshape only the (small) reduction input back to (B, L, ...).
+
+    With ``use_pallas`` resolved on (TPU), the 4-corner XLA gather is
+    replaced by the tent-matmul MXU kernel (kernels/gather_pallas.py):
+    one kernel produces the samples, the valid mass AND the coordinate
+    gradient factors, and the target image is never repeated per layer.
+    Samples whose vertical displacement exceeds ``pallas_max_dy`` rows are
+    dropped (value and valid) — same static window + same
+    ``window_dropped_frac`` diagnostic as the splat direction.
     """
-    l = ldi.textures.shape[1]
+    b, l, h, w = ldi.textures.shape[:4]
     trg_coords, trg_disp, in_front = project_layers_folded(
         ldi, pose_src2trg, K_trg)
-    trg_rep = jnp.repeat(target_image, l, axis=0)  # (B*L, Ht, Wt, 3)
-    sampled, in_bounds = bilinear_sample(trg_rep, trg_coords)
+    if (resolve_use_pallas(use_pallas)
+            and target_image.shape[1:3] == (h, w)):
+        from lsi_tpu.kernels.gather_pallas import gather_pallas_diff
+        from lsi_tpu.kernels.splat_pallas import DEFAULT_MAX_DX
+        coords_f = trg_coords.reshape(b, l * h, w, 2)
+        sampled, in_bounds = gather_pallas_diff(
+            target_image.astype(jnp.float32), coords_f,
+            DEFAULT_MAX_DX, pallas_max_dy, 32)
+        sampled = sampled.reshape(b * l, h, w, -1)
+        in_bounds = in_bounds.reshape(b * l, h, w, 1)
+    else:
+        trg_rep = jnp.repeat(target_image, l, axis=0)  # (B*L, Ht, Wt, 3)
+        sampled, in_bounds = bilinear_sample(trg_rep, trg_coords)
     return sampled, in_front * in_bounds, trg_disp
 
 

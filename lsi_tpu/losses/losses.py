@@ -35,7 +35,9 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
                                 pose_src2trg: jnp.ndarray,
                                 K_trg=None,
                                 min_over_layers: bool = True,
-                                candidate_radius: int = 0) -> jnp.ndarray:
+                                candidate_radius: int = 0,
+                                render_cfg: RenderConfig = RenderConfig(),
+                                return_diag: bool = False):
     """Gather-direction photometric loss, per-pixel min over layers.
 
     For each source pixel and each layer, samples the target image at that
@@ -77,7 +79,9 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
         err_masked = err_masked.reshape(b, l, h, w, 1)
     else:
         sampled, valid, _ = gather_target_per_layer_folded(
-            ldi, target_image, pose_src2trg, K_trg)
+            ldi, target_image, pose_src2trg, K_trg,
+            use_pallas=render_cfg.use_pallas,
+            pallas_max_dy=render_cfg.pallas_max_dy)
         err = jnp.mean(_charbonnier(sampled - tex),
                        axis=-1, keepdims=True)  # (B*L, H, W, 1)
         err_masked = jnp.where(valid > 0.5, err, big).reshape(b, l, h, w, 1)
@@ -90,7 +94,28 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
             jnp.sum(valid, axis=1))
     any_valid = jnp.max(valid, axis=1)
     per_pixel = jnp.where(any_valid > 0.5, per_pixel, 0.0)
-    return divide_safe(jnp.sum(per_pixel), jnp.sum(any_valid))
+    loss = divide_safe(jnp.sum(per_pixel), jnp.sum(any_valid))
+    if not return_diag:
+        return loss
+    # Gather-direction dy-window diagnostic (only meaningful when the
+    # Pallas gather is engaged — the lax path has no window). Same signal
+    # as the splat direction's; XLA CSEs the shared projection.
+    diag = {}
+    from lsi_tpu.geometry.ldi import (_window_dropped_fraction,
+                                      resolve_use_pallas)
+    if (render_cfg.window_check and candidate_radius == 0
+            and resolve_use_pallas(render_cfg.use_pallas)
+            and target_image.shape[1:3] == (h, w)):
+        import jax
+
+        from lsi_tpu.geometry.ldi import project_layers_folded
+        trg_coords, _, in_front = jax.lax.stop_gradient(
+            project_layers_folded(ldi, pose_src2trg, K_trg))
+        diag["window_dropped_frac"] = _window_dropped_fraction(
+            trg_coords.reshape(b, l * h, w, 2),
+            in_front.reshape(b, l * h, w, 1),
+            (h, w), render_cfg.pallas_max_dy)
+    return loss, diag
 
 
 def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
@@ -169,12 +194,14 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
     parts = {}
     diags = {}
     if loss_cfg.photo_mode in ("inverse_warp", "both"):
+        inv_loss, inv_diag = view_synthesis_inverse_warp(
+            ldi, target_image, pose_src2trg, K_trg,
+            min_over_layers=loss_cfg.min_over_layers,
+            candidate_radius=loss_cfg.candidate_radius,
+            render_cfg=render_cfg, return_diag=True)
         parts["photo_inverse_warp"] = (
-            loss_cfg.inverse_warp_weight
-            * view_synthesis_inverse_warp(
-                ldi, target_image, pose_src2trg, K_trg,
-                min_over_layers=loss_cfg.min_over_layers,
-                candidate_radius=loss_cfg.candidate_radius))
+            loss_cfg.inverse_warp_weight * inv_loss)
+        diags.update(inv_diag)
     if loss_cfg.photo_mode in ("splat", "both"):
         splat_loss, diag = view_synthesis_splat(
             ldi, target_image, pose_src2trg, render_cfg, K_trg,

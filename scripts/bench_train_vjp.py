@@ -15,6 +15,7 @@ Usage: python scripts/bench_train_vjp.py [iters]
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -106,23 +107,28 @@ def main(iters=3):
     timed("render fwd+VJP (pallas)", rvjp, tex, disp, K, pose, iters=iters)
 
     # 3b. gather direction (inverse-warp): fwd and fwd+VJP into the
-    # disparities (the coordinate-gradient path that trains depth).
-    def gather_body(t, d, kk, p):
+    # disparities (the coordinate-gradient path that trains depth), A/B
+    # between the lax 4-corner gather and the Pallas tent-matmul kernel.
+    def gather_body(up, t, d, kk, p):
         from lsi_tpu.geometry.ldi import LDI, gather_target_per_layer_folded
         ldi = LDI(textures=t, disparities=d, intrinsics=kk)
-        sampled, valid, _ = gather_target_per_layer_folded(ldi, trg, p)
+        sampled, valid, _ = gather_target_per_layer_folded(
+            ldi, trg, p, use_pallas=up, pallas_max_dy=2)
         return jnp.mean(sampled * valid)
-    gfwd = loop(gather_body)
-    timed("gather fwd (inverse-warp)", gfwd, tex, disp, K, pose, iters=iters)
 
-    def gather_vjp_body(t, d, kk, p):
-        f = lambda dd: gather_body(t, dd, kk, p)
-        val, pull = jax.vjp(f, d)
-        (gd_,) = pull(jnp.ones_like(val))
-        return val + jnp.mean(gd_)
-    gvjp = loop(gather_vjp_body)
-    timed("gather fwd+VJP (inverse-warp)", gvjp, tex, disp, K, pose,
-          iters=iters)
+    for up, tag in (("off", "lax"), ("on", "pallas")):
+        body = functools.partial(gather_body, up)
+        gfwd = loop(lambda t, d, kk, p: body(t, d, kk, p))
+        timed(f"gather fwd ({tag})", gfwd, tex, disp, K, pose, iters=iters)
+
+        def gather_vjp_body(t, d, kk, p):
+            f = lambda dd: body(t, dd, kk, p)
+            val, pull = jax.vjp(f, d)
+            (gd_,) = pull(jnp.ones_like(val))
+            return val + jnp.mean(gd_)
+        gvjp = loop(gather_vjp_body)
+        timed(f"gather fwd+VJP ({tag})", gvjp, tex, disp, K, pose,
+              iters=iters)
 
     # 4/5. loss fwd and full train step
     batch = Batch(src_image=img, trg_image=trg, intrinsics=K,

@@ -35,6 +35,11 @@ def main(steps: int = 2000, scene: str = "two_plane"):
                 cfg.train, max_steps=steps, log_every=max(50, steps // 10),
                 eval_every=0, checkpoint_every=steps,
                 checkpoint_dir=f"/tmp/lsi_cmp_{name}_{scene}"))
+        if scene == "multi":
+            # SE(3) pose jitter incl. rotation: widen the static vertical
+            # splat window (the synthetic_multi preset uses 8).
+            cfg = cfg.replace(render=dataclasses.replace(
+                cfg.render, pallas_max_dy=8))
         print(f"=== training {name} ({cfg.model.family}) for {steps} steps "
               f"on {scene} scenes ===", flush=True)
         trainer = Trainer(cfg)

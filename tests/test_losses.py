@@ -181,3 +181,54 @@ def test_min_over_candidates_avg_layers_grads(rng):
     g = jax.grad(loss_of_disp)(disp)
     assert np.isfinite(val)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_inverse_warp_loss_pallas_gather_matches_lax(rng, monkeypatch):
+    """The tent-matmul gather kernel path of the inverse-warp loss matches
+    the lax gather path (interpret mode off-TPU), gradients included."""
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    h, w, l = 16, 128, 2
+    tex = rng.uniform(size=(1, l, h, w, 3)).astype(np.float32)
+    disp = np.sort(rng.uniform(0.1, 0.5, (1, l, h, w, 1)).astype(np.float32),
+                   axis=1)[:, ::-1].copy()
+    K = np.array([[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+                  [0, 0, 1]], np.float32)
+    ldi = LDI(textures=jnp.asarray(tex), disparities=jnp.asarray(disp),
+              intrinsics=jnp.asarray(K[None]))
+    trg = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+    pose = transforms.translation_pose(np.array([[-0.05, 0.0, 0.0]],
+                                                np.float32))
+    cfg_on = RenderConfig(use_pallas="on", pallas_max_dy=4)
+
+    def loss_fn(d, cfg):
+        ldi_d = LDI(textures=ldi.textures, disparities=d,
+                    intrinsics=ldi.intrinsics)
+        return view_synthesis_inverse_warp(ldi_d, trg, pose,
+                                           render_cfg=cfg)
+
+    l_lax, g_lax = jax.value_and_grad(loss_fn)(ldi.disparities,
+                                               RenderConfig())
+    l_pal, g_pal = jax.value_and_grad(loss_fn)(ldi.disparities, cfg_on)
+    np.testing.assert_allclose(float(l_pal), float(l_lax),
+                               rtol=1e-4, atol=1e-5)
+    # Gradients agree except in snap_fraction dead bands (near-integer
+    # fractions), where the kernel intentionally zeroes the fraction
+    # gradient while the lax gather does not — allow <0.5% such pixels.
+    close = np.isclose(np.asarray(g_pal), np.asarray(g_lax),
+                       rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.995, f"{(~close).sum()} grad mismatches"
+
+
+def test_total_loss_reports_gather_window_diag(rng, monkeypatch):
+    """inverse_warp-only mode surfaces window_dropped_frac when the Pallas
+    gather is engaged (the kitti_ldi2 preset's safety signal)."""
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    ldi = flat_ldi(rng, h=16, w=128)
+    trg = jnp.asarray(rng.uniform(size=(1, 16, 128, 3)), jnp.float32)
+    pose = transforms.translation_pose(np.array([[-0.05, 0.0, 0.0]],
+                                                np.float32))
+    parts = total_loss(ldi, trg, pose,
+                       LossConfig(photo_mode="inverse_warp"),
+                       RenderConfig(use_pallas="on", pallas_max_dy=2))
+    assert "window_dropped_frac" in parts
+    assert float(parts["window_dropped_frac"]) == 0.0
