@@ -124,7 +124,8 @@ def project(points: jnp.ndarray, K: jnp.ndarray):
 
 
 def forward_project(disparity: jnp.ndarray, K_src: jnp.ndarray,
-                    K_trg: jnp.ndarray, pose_src2trg: jnp.ndarray):
+                    K_trg: jnp.ndarray, pose_src2trg: jnp.ndarray,
+                    row_offset: int = 0):
     """Per-pixel source->target correspondence for a disparity map.
 
     The fused pipeline at the heart of both inverse warping and forward
@@ -142,6 +143,9 @@ def forward_project(disparity: jnp.ndarray, K_src: jnp.ndarray,
       disparity: (B, H, W, 1) source-frame inverse depth.
       K_src, K_trg: (B, 3, 3).
       pose_src2trg: (B, 4, 4).
+      row_offset: global row index of this tensor's first row — spatial
+        H-sharded callers pass their shard offset so the pixel grid (and
+        the produced target coordinates) stay in GLOBAL image coordinates.
     Returns:
       trg_coords: (B, H, W, 2) target pixel [x, y].
       trg_disparity: (B, H, W, 1) inverse depth in the target frame.
@@ -158,7 +162,8 @@ def forward_project(disparity: jnp.ndarray, K_src: jnp.ndarray,
     bvec = jnp.einsum("bij,bj->bi", K_trg, t, precision="highest")  # (B, 3)
 
     x = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # (1, 1, W)
-    y = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # (1, H, 1)
+    y = (jnp.arange(h, dtype=jnp.float32)
+         + row_offset)[None, :, None]                    # (1, H, 1)
 
     def row(i):
         a = A[:, i, :]  # (B, 3)

@@ -64,20 +64,23 @@ def _tile_geometry(out_h: int, out_w: int, max_dx: int, max_dy: int):
 
 
 def _fold_coords(coords: jnp.ndarray, out_h: int, wpad: int, pad_x: int,
-                 max_dy: int):
+                 max_dy: int, fold_h=None, base_offset: int = 0):
     """Fraction-carrying folded coordinates shared by fwd and bwd kernels.
 
     xt: padded-space target column (clipped integer part + snapped frac).
-    yt: vertical displacement from the source row's base row (row % out_h),
+    yt: vertical displacement from the source row's base row
+        (``row % fold_h + base_offset``; fold_h defaults to out_h),
         clipped just outside the dy window + snapped frac.
     """
     hs = coords.shape[1]
+    fold = out_h if fold_h is None else fold_h
     x = coords[..., 0].astype(jnp.float32)
     y = coords[..., 1].astype(jnp.float32)
     x0 = jnp.floor(x)
     xt = (jnp.clip(x0, -2.0 * wpad, 2.0 * wpad) + pad_x
           + snap_fraction(x - x0))
-    base_row = (jnp.arange(hs, dtype=jnp.float32) % out_h)[None, :, None]
+    base_row = (jnp.arange(hs, dtype=jnp.float32) % fold
+                + base_offset)[None, :, None]
     y0 = jnp.floor(y)
     yt = (jnp.clip(y0 - base_row, -(max_dy + 2.0), max_dy + 2.0)
           + snap_fraction(y - y0))
@@ -86,7 +89,8 @@ def _fold_coords(coords: jnp.ndarray, out_h: int, wpad: int, pad_x: int,
 
 def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
                   block_rows: int, ho: int, max_dy: int, pad_x: int,
-                  pad_y: int, tile_w: int, bf16_matmul: bool):
+                  pad_y: int, tile_w: int, bf16_matmul: bool,
+                  fold_h: int, base_offset: int):
     """One grid step: splat `block_rows` source rows into this column
     tile's resident padded accumulator.
 
@@ -115,8 +119,10 @@ def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
     ws = payload_ref.shape[2]
     c1 = payload_ref.shape[1]
     ndy = 2 * max_dy + 2  # dy offsets covered: [-max_dy, max_dy + 1]
-    # Base target row of this source block within the (un-padded) image.
-    r_base = (j * block_rows) % ho
+    # Base target row of this source block within the (un-padded) image:
+    # folded-row contract with an optional shard-local offset (spatial
+    # halo-sharded rendering folds by the shard height, not out_h).
+    r_base = (j * block_rows) % fold_h + base_offset
     col0 = t * tile_w  # first padded-space column owned by this tile
 
     col_f = jax.lax.broadcasted_iota(
@@ -158,13 +164,15 @@ def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "max_dx", "max_dy",
-                                             "block_rows", "bf16_matmul"))
+                                             "block_rows", "bf16_matmul",
+                                             "fold_h", "base_offset"))
 def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
                  weights: jnp.ndarray, out_hw,
                  max_dx: int = DEFAULT_MAX_DX,
                  max_dy: int = DEFAULT_MAX_DY,
                  block_rows: int = 32,
-                 bf16_matmul: bool = False):
+                 bf16_matmul: bool = False,
+                 fold_h=None, base_offset: int = 0):
     """Drop-in replacement for ops.splat.splat_bilinear (scatter method).
 
     Args:
@@ -175,20 +183,33 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
       out_hw:  (out_h, out_w).
       max_dx / max_dy: static displacement window (see module docstring).
       block_rows: source rows per grid step.
+      fold_h / base_offset: source row r maps to target base row
+        ``r % fold_h + base_offset`` (defaults: fold_h=out_h, offset 0 —
+        the plain folded-row contract). The spatial halo-sharded render
+        splats shard rows into a padded local target (fold_h=shard height,
+        base_offset=halo pad).
     Returns:
       accum (N, out_h, out_w, C) f32, wsum (N, out_h, out_w, 1) f32.
     """
     out_h, out_w = out_hw
     n, hs, ws, c = values.shape
-    if hs % out_h:
+    if fold_h is None:
+        fold_h = out_h
+    if hs % fold_h:
         raise ValueError(
             f"folded-row contract violated: source rows {hs} must be a "
-            f"multiple of out_h {out_h} (layers folded into the row axis; "
-            "a source row r splats around target base row r % out_h)")
-    while hs % block_rows or out_h % block_rows:
+            f"multiple of fold_h {fold_h} (layers folded into the row axis; "
+            "a source row r splats around target base row "
+            "r % fold_h + base_offset)")
+    if base_offset < 0 or base_offset + fold_h > out_h:
+        raise ValueError(
+            f"base rows [{base_offset}, {base_offset + fold_h}) must lie "
+            f"inside the target height {out_h} (kernel row-block writes "
+            "stay within the padded accumulator only then)")
+    while hs % block_rows or fold_h % block_rows:
         block_rows //= 2  # shrink to a common divisor (powers of two)
     if block_rows < 1:
-        raise ValueError(f"no valid block_rows for rows {hs}/{out_h}")
+        raise ValueError(f"no valid block_rows for rows {hs}/{fold_h}")
     c1 = c + 1
     # Column tiling: the widest tile whose double-buffered accumulator
     # (h2 x 8-padded channels x tile_w f32) fits a ~8 MB VMEM budget —
@@ -206,12 +227,14 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     # Fraction-carrying target coordinates for the in-kernel tents. The
     # integer part is computed/clipped separately so padding cannot perturb
     # the (snapped) fraction; far-out values land in the tent's dead zone.
-    xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy)
+    xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy,
+                          fold_h=fold_h, base_offset=base_offset)
 
     grid = (n, num_tiles, hs // block_rows)
     kernel = functools.partial(
         _splat_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
-        pad_x=pad_x, pad_y=pad_y, tile_w=tile_w, bf16_matmul=bf16_matmul)
+        pad_x=pad_x, pad_y=pad_y, tile_w=tile_w, bf16_matmul=bf16_matmul,
+        fold_h=fold_h, base_offset=base_offset)
 
     row_spec = pl.BlockSpec((None, block_rows, ws),
                             lambda i, t, j: (i, j, 0),

@@ -47,14 +47,23 @@ def snap_fraction(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(f > 1.0 - MIN_FRACTION, 1.0, f)
 
 
-def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
+def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int,
+                  max_dy_window=None, base_rows=None):
     """Shared corner index/weight computation.
 
     Returns flat linear indices (4, N, P) into an (N*out_h*out_w) target and
     matching bilinear weights (4, N, P), with -1 indices for out-of-bounds
     corners (to be dropped by the scatter / segment sum).
+
+    With ``max_dy_window`` set, corners whose target row lies outside
+    [base - max_dy, base + max_dy + 1] of the source pixel's base row are
+    dropped PER CORNER — the exact semantics of the Pallas kernel's static
+    vertical window (kernels/splat_pallas.py), making this path its
+    same-semantics oracle. ``base_rows`` overrides the base row per source
+    row (defaults to the folded-row contract ``row % out_h``); the spatial
+    halo-sharded render passes shard-local bases.
     """
-    n = coords.shape[0]
+    n, hs = coords.shape[0], coords.shape[1]
     x = coords[..., 0].astype(jnp.float32).reshape(n, -1)
     y = coords[..., 1].astype(jnp.float32).reshape(n, -1)
 
@@ -64,6 +73,13 @@ def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
     fy = snap_fraction(y - y0)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+
+    if max_dy_window is not None:
+        if base_rows is None:
+            base_rows = jnp.arange(hs, dtype=jnp.int32) % out_h
+        ws = coords.shape[2]
+        base = jnp.broadcast_to(base_rows[None, :, None],
+                                (n, hs, ws)).reshape(n, -1)
 
     batch_off = (jnp.arange(n, dtype=jnp.int32) * (out_h * out_w))[:, None]
 
@@ -78,6 +94,9 @@ def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
         yi = y0i + dy
         xi = x0i + dx
         inb = (xi >= 0) & (xi <= out_w - 1) & (yi >= 0) & (yi <= out_h - 1)
+        if max_dy_window is not None:
+            ky = yi - base
+            inb &= (ky >= -max_dy_window) & (ky <= max_dy_window + 1)
         lin = batch_off + yi * out_w + xi
         idxs.append(jnp.where(inb, lin, -1))
         wts.append(wgt * inb)
@@ -85,7 +104,8 @@ def _corner_terms(coords: jnp.ndarray, out_h: int, out_w: int):
 
 
 def splat_bilinear(values: jnp.ndarray, coords: jnp.ndarray,
-                   weights: jnp.ndarray, out_hw, method: str = "scatter"):
+                   weights: jnp.ndarray, out_hw, method: str = "scatter",
+                   max_dy_window=None, base_rows=None):
     """Forward-splat per-pixel values into a target image.
 
     Args:
@@ -96,6 +116,8 @@ def splat_bilinear(values: jnp.ndarray, coords: jnp.ndarray,
       out_hw:  (out_h, out_w) target size.
       method:  "scatter" (single fused scatter-add) or "sort"
         (sort-by-target-index + segment_sum; fully deterministic layout).
+      max_dy_window / base_rows: optional per-corner vertical window with
+        the Pallas kernel's exact semantics (see ``_corner_terms``).
     Returns:
       accum:  (N, out_h, out_w, C) float32 sum of weighted values.
       w_sum:  (N, out_h, out_w, 1) float32 sum of weights.
@@ -110,7 +132,9 @@ def splat_bilinear(values: jnp.ndarray, coords: jnp.ndarray,
     # Fuse the weight channel: scatter (w*v, w) together.
     payload = jnp.concatenate([vals32 * w32, w32], axis=-1)  # (N, P, C+1)
 
-    idx4, wt4 = _corner_terms(coords, out_h, out_w)  # (4, N, P)
+    idx4, wt4 = _corner_terms(coords, out_h, out_w,
+                              max_dy_window=max_dy_window,
+                              base_rows=base_rows)  # (4, N, P)
 
     flat_idx = idx4.reshape(-1)  # (4*N*P,)
     flat_payload = (payload[None] * wt4[..., None]).reshape(-1, c + 1)

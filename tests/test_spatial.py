@@ -1,0 +1,127 @@
+"""Spatially-sharded render (H shards + halo exchange) on the CPU mesh.
+
+The windowed single-device render is the semantic reference; off-TPU the
+spatial path's local splat is the windowed lax oracle, so equality is
+exact (identical accumulate-then-normalize, f32).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lsi_tpu.geometry.ldi import LDI, render_forward
+from lsi_tpu.geometry.transforms import translation_pose
+from lsi_tpu.ops.splat import splat_bilinear
+from lsi_tpu.parallel.spatial import make_spatial_mesh, render_forward_spatial
+
+
+def make_ldi(rng, b=1, l=2, h=32, w=128):
+    tex = jnp.asarray(rng.uniform(size=(b, l, h, w, 3)), jnp.float32)
+    disp = jnp.asarray(
+        np.sort(rng.uniform(0.05, 0.5, (b, l, h, w, 1)), axis=1)[:, ::-1]
+        .copy(), jnp.float32)
+    K = np.array([[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+                  [0, 0, 1]], np.float32)
+    return LDI(textures=tex, disparities=disp,
+               intrinsics=jnp.broadcast_to(jnp.asarray(K), (b, 3, 3)))
+
+
+def test_spatial_equals_global_pure_translation(rng):
+    """Horizontal stereo (dy == 0 everywhere): spatial == global exactly."""
+    ldi = make_ldi(rng)
+    pose = translation_pose(np.array([[-0.3, 0.0, 0.0]], np.float32))
+    mesh = make_spatial_mesh()
+    out_s = render_forward_spatial(ldi, pose, mesh, zbuffer_scale=30.0,
+                                   pallas_max_dy=1)
+    out_g = render_forward(ldi, pose, zbuffer_scale=30.0, use_pallas="off")
+    for k in ("rgb", "disparity", "coverage"):
+        np.testing.assert_array_equal(np.asarray(out_s[k]),
+                                      np.asarray(out_g[k]))
+    # outputs are H-sharded over the full mesh
+    assert len(out_s["rgb"].sharding.device_set) == 8
+
+
+def test_spatial_equals_global_with_vertical_motion(rng):
+    """Vertical camera motion crosses shard boundaries: the halo exchange
+    must reconstruct the global render exactly (displacement kept within
+    the static window so the windowed reference is the plain render)."""
+    ldi = make_ldi(rng)
+    # ty=0.02 at fy=115, max disparity 0.5 -> |dy| <= ~1.2 rows < window 2.
+    pose = translation_pose(np.array([[-0.2, 0.02, 0.0]], np.float32))
+    mesh = make_spatial_mesh()
+    out_s = render_forward_spatial(ldi, pose, mesh, zbuffer_scale=30.0,
+                                   pallas_max_dy=2)
+    out_g = render_forward(ldi, pose, zbuffer_scale=30.0, use_pallas="off")
+    for k in ("rgb", "disparity", "coverage"):
+        np.testing.assert_allclose(np.asarray(out_s[k]),
+                                   np.asarray(out_g[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_spatial_window_matches_windowed_global(rng):
+    """Motion EXCEEDING the window: spatial must equal the windowed global
+    reference (splat_bilinear max_dy_window), not the unwindowed one."""
+    from lsi_tpu.geometry import projection
+    from lsi_tpu.utils.helpers import divide_safe
+
+    ldi = make_ldi(rng)
+    b, l, h, w, _ = ldi.textures.shape
+    pose = translation_pose(np.array([[-0.1, 0.15, 0.0]], np.float32))
+    max_dy = 2
+
+    mesh = make_spatial_mesh()
+    out_s = render_forward_spatial(ldi, pose, mesh, zbuffer_scale=30.0,
+                                   pallas_max_dy=max_dy)
+
+    # Global windowed reference, assembled exactly like render_forward.
+    disp_bl = ldi.disparities.reshape(b * l, h, w, 1)
+    rep = lambda m: jnp.repeat(m, l, axis=0)
+    tc, td, valid = projection.forward_project(
+        disp_bl, rep(ldi.intrinsics), rep(ldi.intrinsics), rep(pose))
+    tc = tc.reshape(b, l * h, w, 2)
+    td = td.reshape(b, l * h, w, 1)
+    valid = valid.reshape(b, l * h, w, 1)
+    d_shift = jnp.maximum(jnp.max(jnp.where(valid > 0, td, -jnp.inf),
+                                  axis=(1, 2, 3), keepdims=True), 0.0)
+    weights = jnp.exp(30.0 * (td - d_shift)) * valid
+    payload = jnp.concatenate(
+        [ldi.textures.astype(jnp.float32).reshape(b, l * h, w, 3), td], -1)
+    accum, wsum = splat_bilinear(payload, tc, weights, (h, w),
+                                 max_dy_window=max_dy)
+    ref = divide_safe(accum, wsum, eps=0.0)
+
+    np.testing.assert_allclose(np.asarray(out_s["rgb"]),
+                               np.asarray(ref[..., :3]),
+                               rtol=1e-5, atol=1e-5)
+    # ... and it must DIFFER from the unwindowed render (the motion really
+    # exceeded the window, otherwise this test is vacuous).
+    out_unwin = render_forward(ldi, pose, zbuffer_scale=30.0,
+                               use_pallas="off")
+    assert np.abs(np.asarray(out_unwin["rgb"])
+                  - np.asarray(out_s["rgb"])).max() > 1e-3
+
+
+def test_spatial_composes_with_data_axis(rng):
+    """2-D ('data', 'space') mesh: batch and height shard independently."""
+    ldi = make_ldi(rng, b=2)
+    pose = translation_pose(
+        np.tile(np.array([[-0.3, 0.0, 0.0]], np.float32), (2, 1)))
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    from jax.sharding import Mesh
+    mesh = Mesh(devices, ("data", "space"))
+    out_s = render_forward_spatial(ldi, pose, mesh, zbuffer_scale=30.0,
+                                   pallas_max_dy=1)
+    out_g = render_forward(ldi, pose, zbuffer_scale=30.0, use_pallas="off")
+    np.testing.assert_allclose(np.asarray(out_s["rgb"]),
+                               np.asarray(out_g["rgb"]),
+                               rtol=1e-5, atol=1e-5)
+    assert len(out_s["rgb"].sharding.device_set) == 8
+
+
+def test_spatial_rejects_thin_shards(rng):
+    ldi = make_ldi(rng, h=16)  # 8 shards x 2 rows < pad
+    pose = translation_pose(np.array([[-0.3, 0.0, 0.0]], np.float32))
+    with pytest.raises(ValueError, match="halo pad"):
+        render_forward_spatial(ldi, pose, make_spatial_mesh(),
+                               pallas_max_dy=2)
