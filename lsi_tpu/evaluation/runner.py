@@ -35,7 +35,9 @@ def build_eval_step(cfg: Config):
             mpi = model.apply({"params": params}, batch.src_image,
                               batch.intrinsics)
             out = render_mpi(mpi, batch.pose_src2trg,
-                             out_hw=batch.trg_image.shape[1:3])
+                             out_hw=batch.trg_image.shape[1:3],
+                             use_pallas=cfg.render.use_pallas,
+                             pallas_max_dy=cfg.render.pallas_max_dy)
             covered = (out["alpha"] > 0.5).astype(jnp.float32)
             metrics = {
                 "psnr": psnr(out["rgb"], batch.trg_image, mask=covered),

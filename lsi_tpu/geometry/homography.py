@@ -44,13 +44,19 @@ def plane_homography(K_src: jnp.ndarray, K_trg: jnp.ndarray,
 
 
 def homography_warp(image_src: jnp.ndarray, homography_t2s: jnp.ndarray,
-                    out_hw=None):
+                    out_hw=None, use_pallas="off", pallas_max_dy: int = 2):
     """Warp a source image into the target view through a homography.
 
     Args:
       image_src: (B, H, W, C).
       homography_t2s: (B, 3, 3) mapping target pixels -> source pixels.
       out_hw: (Ho, Wo); defaults to source size.
+      use_pallas: resolved per geometry.ldi.resolve_use_pallas — on TPU the
+        4-corner XLA gather becomes the tent-matmul MXU kernel
+        (kernels/gather_pallas.py). Requires Ho to be a multiple of H and
+        the homography's VERTICAL displacement within ``pallas_max_dy``
+        rows (stereo/planar warps: ~0); out-of-window samples are dropped
+        with zero valid mass, same windowed semantics as the splat.
     Returns:
       warped (B, Ho, Wo, C), valid (B, Ho, Wo, 1).
     """
@@ -65,6 +71,13 @@ def homography_warp(image_src: jnp.ndarray, homography_t2s: jnp.ndarray,
     denom = jnp.where(jnp.abs(mapped[..., 2:3]) < 1e-8,
                       jnp.full_like(mapped[..., 2:3], 1e-8), mapped[..., 2:3])
     coords = mapped[..., :2] / denom
+
+    from lsi_tpu.geometry.ldi import resolve_use_pallas
+    if resolve_use_pallas(use_pallas) and oh % h == 0:
+        from lsi_tpu.kernels.gather_pallas import gather_pallas_diff
+        from lsi_tpu.kernels.splat_pallas import DEFAULT_MAX_DX
+        return gather_pallas_diff(image_src.astype(jnp.float32), coords,
+                                  DEFAULT_MAX_DX, pallas_max_dy, 32)
     return bilinear_sample(image_src, coords)
 
 

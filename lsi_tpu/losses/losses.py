@@ -243,7 +243,8 @@ def mpi_total_loss(mpi, src_image: jnp.ndarray, target_image: jnp.ndarray,
                    pose_src2trg: jnp.ndarray,
                    loss_cfg: LossConfig, K_trg=None,
                    gt_disparity=None, gt_valid=None,
-                   alpha_coverage_weight: float = 1.0
+                   alpha_coverage_weight: float = 1.0,
+                   render_cfg: RenderConfig = RenderConfig(use_pallas="off")
                    ) -> Dict[str, jnp.ndarray]:
     """Training loss for the layered-planes (MPI) baseline experiment.
 
@@ -253,12 +254,16 @@ def mpi_total_loss(mpi, src_image: jnp.ndarray, target_image: jnp.ndarray,
     composite must explain the whole target; without it the trivial
     all-transparent MPI zeroes the photometric gradient) and edge-aware
     smoothness on the expected source disparity. Gather-only — no scatter
-    anywhere, so this path needs no Pallas kernel on TPU.
+    anywhere; on TPU the D per-plane warps ride the tent-matmul gather
+    kernel (``render_cfg.use_pallas``), since XLA's gathers serialize
+    there too (docs/perf.md §8).
     """
     from lsi_tpu.models.mpi import mpi_source_disparity, render_mpi
 
     out = render_mpi(mpi, pose_src2trg, K_trg=K_trg,
-                     out_hw=target_image.shape[1:3])
+                     out_hw=target_image.shape[1:3],
+                     use_pallas=render_cfg.use_pallas,
+                     pallas_max_dy=render_cfg.pallas_max_dy)
     trg32 = target_image.astype(jnp.float32)
     err = jnp.mean(_charbonnier(out["rgb"] - trg32), axis=-1, keepdims=True)
 

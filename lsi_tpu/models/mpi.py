@@ -126,13 +126,18 @@ def mpi_source_disparity(mpi: MPI) -> jnp.ndarray:
 
 def render_mpi(mpi: MPI, pose_src2trg: jnp.ndarray,
                K_trg: Optional[jnp.ndarray] = None,
-               out_hw=None):
+               out_hw=None, use_pallas="off", pallas_max_dy: int = 2):
     """Render an MPI into a novel view (gather-only, fully differentiable).
 
     Warps every plane into the target camera through its exact
     plane-induced homography, then over-composites front-to-back:
         C = sum_d c_d a_d prod_{d' < d} (1 - a_{d'}).
     Returns dict(rgb, alpha (accumulated opacity), disparity).
+
+    ``use_pallas``/``pallas_max_dy`` route the D per-plane warps through
+    the tent-matmul gather kernel on TPU (the D x 4 XLA gathers serialize
+    there — docs/perf.md §1); warps whose vertical displacement exceeds
+    the window lose those samples (valid mass 0), like every windowed path.
     """
     b, d, h, w, _ = mpi.colors.shape
     if K_trg is None:
@@ -153,7 +158,9 @@ def render_mpi(mpi: MPI, pose_src2trg: jnp.ndarray,
         h_t2s = homography.plane_homography(
             mpi.intrinsics, K_trg, pose_src2trg, normal, depth_i)
         plane = jnp.concatenate([mpi.colors[:, i], mpi.alphas[:, i]], -1)
-        warped, valid = homography.homography_warp(plane, h_t2s, out_hw)
+        warped, valid = homography.homography_warp(
+            plane, h_t2s, out_hw, use_pallas=use_pallas,
+            pallas_max_dy=pallas_max_dy)
         c_i = warped[..., :3]
         a_i = jnp.clip(warped[..., 3:4], 0.0, 1.0) * valid
         rgb = rgb + transmittance * a_i * c_i

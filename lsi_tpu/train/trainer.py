@@ -100,7 +100,8 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
             parts = mpi_total_loss(
                 pred, batch.src_image, batch.trg_image, batch.pose_src2trg,
                 cfg.loss,
-                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
+                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid,
+                render_cfg=cfg.render)
         else:
             parts = total_loss(
                 pred, batch.trg_image, batch.pose_src2trg,

@@ -161,3 +161,61 @@ def test_mpi_source_disparity_composite():
     empty = MPI(colors=colors, alphas=jnp.zeros_like(alphas), depths=depths,
                 intrinsics=K)
     np.testing.assert_allclose(np.asarray(mpi_source_disparity(empty)), 0.0)
+
+
+def test_render_mpi_pallas_matches_lax(rng, monkeypatch):
+    """The D per-plane homography warps through the tent-matmul gather
+    kernel match the lax gather path (interpret mode off-TPU)."""
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    b, d, h, w = 1, 4, 16, 128
+    colors = jnp.asarray(rng.uniform(size=(b, d, h, w, 3)), jnp.float32)
+    alphas = jnp.asarray(rng.uniform(0.2, 0.9, (b, d, h, w, 1)), jnp.float32)
+    K = np.array([[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+                  [0, 0, 1]], np.float32)
+    mpi = MPI(colors=colors, alphas=alphas, depths=plane_depths(d, 2, 30),
+              intrinsics=jnp.asarray(K[None]))
+    pose = transforms.translation_pose(np.array([[-0.1, 0.0, 0.0]],
+                                                np.float32))
+    out_lax = render_mpi(mpi, pose)
+    out_pal = render_mpi(mpi, pose, use_pallas="on", pallas_max_dy=2)
+    for k in ("rgb", "alpha", "disparity"):
+        np.testing.assert_allclose(np.asarray(out_pal[k]),
+                                   np.asarray(out_lax[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_mpi_loss_gradients_pallas_match_lax(rng, monkeypatch):
+    """MPI training differentiates THROUGH the gather kernel's d_image
+    (the transposed-gather splat): gradients must match the lax path."""
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    from lsi_tpu.config import LossConfig, RenderConfig
+    from lsi_tpu.losses.losses import mpi_total_loss
+
+    b, d, h, w = 1, 3, 16, 128
+    colors = jnp.asarray(rng.uniform(size=(b, d, h, w, 3)), jnp.float32)
+    alphas = jnp.asarray(rng.uniform(0.3, 0.8, (b, d, h, w, 1)), jnp.float32)
+    K = np.array([[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+                  [0, 0, 1]], np.float32)
+    depths = plane_depths(d, 2, 30)
+    src = jnp.asarray(rng.uniform(size=(b, h, w, 3)), jnp.float32)
+    trg = jnp.asarray(rng.uniform(size=(b, h, w, 3)), jnp.float32)
+    pose = transforms.translation_pose(np.array([[-0.1, 0.0, 0.0]],
+                                                np.float32))
+
+    def loss(c, a, up):
+        mpi = MPI(colors=c, alphas=a, depths=depths,
+                  intrinsics=jnp.asarray(K[None]))
+        cfg = RenderConfig(use_pallas=up, pallas_max_dy=2)
+        return mpi_total_loss(mpi, src, trg, pose, LossConfig(),
+                              render_cfg=cfg)["total"]
+
+    l_lax, g_lax = jax.value_and_grad(loss, argnums=(0, 1))(
+        colors, alphas, "off")
+    l_pal, g_pal = jax.value_and_grad(loss, argnums=(0, 1))(
+        colors, alphas, "on")
+    np.testing.assert_allclose(float(l_pal), float(l_lax),
+                               rtol=1e-4, atol=1e-5)
+    for gp, gl, name in zip(g_pal, g_lax, ("colors", "alphas")):
+        close = np.isclose(np.asarray(gp), np.asarray(gl),
+                           rtol=1e-3, atol=1e-4)
+        assert close.mean() > 0.995, (name, (~close).sum())
