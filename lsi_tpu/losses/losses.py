@@ -60,16 +60,39 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
     tex = ldi.textures.astype(jnp.float32).reshape(b * l, h, w, 3)
     big = jnp.asarray(1e3, jnp.float32)
     if candidate_radius > 0:
+        from lsi_tpu.geometry.ldi import resolve_use_pallas
         trg_coords, _, in_front = project_layers_folded(
             ldi, pose_src2trg, K_trg)
-        trg_rep = jnp.repeat(target_image, l, axis=0)
         r = candidate_radius
+        # Candidate gathers via the tent-matmul kernel on TPU (each offset
+        # is one kernel call; the window must absorb the vertical offsets)
+        # or the lax 4-corner gather elsewhere.
+        pallas_ok = (resolve_use_pallas(render_cfg.use_pallas)
+                     and target_image.shape[1:3] == (h, w))
+        if pallas_ok:
+            from lsi_tpu.kernels.gather_pallas import gather_pallas_diff
+            from lsi_tpu.kernels.splat_pallas import DEFAULT_MAX_DX
+            coords_f = trg_coords.reshape(b, l * h, w, 2)
+            trg32 = target_image.astype(jnp.float32)
+
+            def sample(off):
+                s, v = gather_pallas_diff(
+                    trg32, coords_f + off, DEFAULT_MAX_DX,
+                    render_cfg.pallas_max_dy + r, 32)
+                return (s.reshape(b * l, h, w, 3),
+                        v.reshape(b * l, h, w, 1))
+        else:
+            trg_rep = jnp.repeat(target_image, l, axis=0)
+
+            def sample(off):
+                return bilinear_sample(trg_rep, trg_coords + off)
+
         err_masked = None
         valid = None
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
                 off = jnp.asarray([dx, dy], jnp.float32)
-                sampled, inb = bilinear_sample(trg_rep, trg_coords + off)
+                sampled, inb = sample(off)
                 v = in_front * inb
                 e = jnp.mean(_charbonnier(sampled - tex), -1, keepdims=True)
                 e = jnp.where(v > 0.5, e, big)

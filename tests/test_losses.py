@@ -232,3 +232,27 @@ def test_total_loss_reports_gather_window_diag(rng, monkeypatch):
                        RenderConfig(use_pallas="on", pallas_max_dy=2))
     assert "window_dropped_frac" in parts
     assert float(parts["window_dropped_frac"]) == 0.0
+
+
+def test_candidate_min_loss_pallas_matches_lax(rng, monkeypatch):
+    """candidate_radius > 0 through the Pallas gather == lax path."""
+    monkeypatch.setenv("LSI_TPU_FORCE_PALLAS", "1")
+    h, w, l = 16, 128, 2
+    tex = rng.uniform(size=(1, l, h, w, 3)).astype(np.float32)
+    disp = np.sort(rng.uniform(0.1, 0.5, (1, l, h, w, 1)).astype(np.float32),
+                   axis=1)[:, ::-1].copy()
+    K = np.array([[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+                  [0, 0, 1]], np.float32)
+    ldi = LDI(textures=jnp.asarray(tex), disparities=jnp.asarray(disp),
+              intrinsics=jnp.asarray(K[None]))
+    trg = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+    pose = transforms.translation_pose(np.array([[-0.05, 0.0, 0.0]],
+                                                np.float32))
+    l_lax = view_synthesis_inverse_warp(
+        ldi, trg, pose, candidate_radius=1,
+        render_cfg=RenderConfig(use_pallas="off"))
+    l_pal = view_synthesis_inverse_warp(
+        ldi, trg, pose, candidate_radius=1,
+        render_cfg=RenderConfig(use_pallas="on", pallas_max_dy=2))
+    np.testing.assert_allclose(float(l_pal), float(l_lax),
+                               rtol=1e-4, atol=1e-5)
