@@ -267,7 +267,9 @@ def main():
 
     log(f"accelerator: {accel} (platform={accel.platform}) "
         f"pallas={use_pallas}")
-    fps_accel = measure(accel, h, w, layers, batch=8, iters=iters,
+    # b16: amortizes per-dispatch/geometry overheads — +12% frames/s over
+    # b8 on v5e (b32 is flat); throughput metric, batch is free to choose.
+    fps_accel = measure(accel, h, w, layers, batch=16, iters=iters,
                         use_pallas=use_pallas)
     log(f"accel predict+render @{h}x{w} L={layers}: {fps_accel:.2f} frames/s")
 

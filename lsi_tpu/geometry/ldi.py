@@ -236,7 +236,7 @@ def render_forward(ldi: LDI,
                 jax.lax.stop_gradient(valid), out_hw, pallas_max_dy)
         accum, wsum = splat_pallas_diff(
             payload, trg_coords, weights,
-            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 32)
+            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 64)
     else:
         accum, wsum = splat_bilinear(
             payload, trg_coords, weights, out_hw, method=splat_method)
@@ -298,7 +298,7 @@ def gather_target_per_layer_folded(ldi: LDI,
         coords_f = trg_coords.reshape(b, l * h, w, 2)
         sampled, in_bounds = gather_pallas_diff(
             target_image.astype(jnp.float32), coords_f,
-            DEFAULT_MAX_DX, pallas_max_dy, 32)
+            DEFAULT_MAX_DX, pallas_max_dy, 64)
         sampled = sampled.reshape(b * l, h, w, -1)
         in_bounds = in_bounds.reshape(b * l, h, w, 1)
     else:
