@@ -3,7 +3,7 @@
 Why this kernel exists: the reference delegates its splat to
 ``tf.scatter_nd`` (CUDA atomics); the XLA TPU scatter this maps to executes
 serialized at ~16M updates/s on v5e — 762 ms for a batch-8 two-layer
-256x768 render (measured; see scripts/bench_layout.py). This kernel
+256x768 render (measured; see docs/perf.md §1). This kernel
 re-expresses the scatter as **per-row one-hot matmuls on the MXU**: for each
 source row, a (Ws x Wpad) matrix A holds each pixel's two bilinear column
 weights at its target columns; ``A^T @ payload`` then *is* the column
@@ -357,6 +357,12 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
     if hs % out_h:
         raise ValueError(f"folded-row contract: {hs} % {out_h} != 0")
     while hs % block_rows or out_h % block_rows:
+        block_rows //= 2
+    # VMEM cap: unlike the forward (whose resident block is
+    # block_rows-independent), this kernel's output block is
+    # (block_rows, 3, C1, Ws) — at 1536-wide images block_rows=64 blows the
+    # 16 MB scoped-vmem limit. Halving preserves divisibility.
+    while block_rows > 8 and block_rows * 3 * c1 * ws * 4 > 4 * 1024 * 1024:
         block_rows //= 2
     if block_rows < 1:
         raise ValueError(f"no valid block_rows for rows {hs}/{out_h}")
