@@ -104,3 +104,55 @@ class LSIModel:
 
     def render(self, ldi: LDI, pose: jnp.ndarray, **kw) -> jnp.ndarray:
         return render(ldi, pose, config=self.config.render, **kw)
+
+    def save(self, path: str) -> None:
+        """Single-file portable export: params + config in one ``.npz``.
+
+        The flat param arrays ride the portable export format
+        (train/checkpoint.export_params_npz keys) with the full config tree
+        embedded as a JSON sidecar key — no orbax / framework state needed
+        to reload for serving.
+        """
+        import dataclasses
+        import json
+
+        import numpy as np
+
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        out = {}
+        for keypath, leaf in flat:
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                           for k in keypath)
+            out["params/" + key] = np.asarray(leaf)
+        out["__config__"] = np.frombuffer(
+            json.dumps(dataclasses.asdict(self.config)).encode(), np.uint8)
+        np.savez(path, **out)
+
+    @classmethod
+    def load(cls, path: str) -> "LSIModel":
+        """Reload a :meth:`save` export (config + params)."""
+        import json
+
+        import numpy as np
+
+        from lsi_tpu.config import (Config, DataConfig, LossConfig,
+                                    ModelConfig, TrainConfig)
+
+        data = np.load(path)
+        raw = json.loads(bytes(data["__config__"]).decode())
+        config = Config(model=ModelConfig(**raw["model"]),
+                        render=RenderConfig(**raw["render"]),
+                        loss=LossConfig(**raw["loss"]),
+                        data=DataConfig(**raw["data"]),
+                        train=TrainConfig(**raw["train"]))
+        template = cls.init(jax.random.key(0), config)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template.params)
+        leaves = []
+        for keypath, leaf in flat:
+            key = "params/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k)))
+                for k in keypath)
+            arr = data[key]
+            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+            leaves.append(arr.astype(leaf.dtype))
+        return cls(config, jax.tree_util.tree_unflatten(treedef, leaves))

@@ -124,3 +124,28 @@ def test_single_layer_ldi(rng):
     pose = transforms.translation_pose(np.array([[0.05, 0, 0]], np.float32))
     out = render_forward(ldi, pose)
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_lsimodel_save_load_roundtrip(rng, tmp_path):
+    """Single-file serving export: config + params reload bit-exact and
+    produce identical predictions."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsi_tpu.api import LSIModel
+    from lsi_tpu.config import Config, ModelConfig
+
+    cfg = Config(model=ModelConfig(num_layers=2, base_filters=8,
+                                   num_scales=2, compute_dtype="float32"))
+    m = LSIModel.init(jax.random.key(3), cfg, height=16, width=32)
+    path = str(tmp_path / "model.npz")
+    m.save(path)
+    m2 = LSIModel.load(path)
+    assert m2.config == m.config
+    img = jnp.asarray(rng.uniform(size=(1, 16, 32, 3)), jnp.float32)
+    a = m.predict_ldi(img)
+    b = m2.predict_ldi(img)
+    np.testing.assert_array_equal(np.asarray(a.textures),
+                                  np.asarray(b.textures))
+    np.testing.assert_array_equal(np.asarray(a.disparities),
+                                  np.asarray(b.disparities))
