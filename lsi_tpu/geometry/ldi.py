@@ -236,7 +236,7 @@ def render_forward(ldi: LDI,
                 jax.lax.stop_gradient(valid), out_hw, pallas_max_dy)
         accum, wsum = splat_pallas_diff(
             payload, trg_coords, weights,
-            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 64)
+            out_hw, DEFAULT_MAX_DX, pallas_max_dy, 32)
     else:
         accum, wsum = splat_bilinear(
             payload, trg_coords, weights, out_hw, method=splat_method)
