@@ -268,7 +268,7 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
 
 def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
                       block_rows: int, ho: int, max_dy: int, pad_y: int,
-                      tile_w: int):
+                      tile_w: int, fold_h: int, base_offset: int):
     """One grid step of the splat BACKWARD: tent-matmul gathers of the
     cotangent for `block_rows` source rows against this column tile.
 
@@ -297,7 +297,7 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
     ws = xt_ref.shape[1]
     c1 = cot_ref.shape[1]
     ndy = 2 * max_dy + 2
-    r_base = (j * block_rows) % ho
+    r_base = (j * block_rows) % fold_h + base_offset
     col0 = t * tile_w
 
     col_f = jax.lax.broadcasted_iota(
@@ -337,11 +337,13 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "max_dx", "max_dy",
-                                             "block_rows"))
+                                             "block_rows", "fold_h",
+                                             "base_offset"))
 def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
                           out_hw, max_dx: int = DEFAULT_MAX_DX,
                           max_dy: int = DEFAULT_MAX_DY,
-                          block_rows: int = 32) -> jnp.ndarray:
+                          block_rows: int = 32,
+                          fold_h=None, base_offset: int = 0) -> jnp.ndarray:
     """Tent-matmul cotangent sums for the splat backward (see kernel doc).
 
     Args:
@@ -354,9 +356,15 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
     out_h, out_w = out_hw
     n, ho, wo, c1 = cot_payload.shape
     _, hs, ws, _ = coords.shape
-    if hs % out_h:
-        raise ValueError(f"folded-row contract: {hs} % {out_h} != 0")
-    while hs % block_rows or out_h % block_rows:
+    if fold_h is None:
+        fold_h = out_h
+    if hs % fold_h:
+        raise ValueError(f"folded-row contract: {hs} % {fold_h} != 0")
+    if base_offset < 0 or base_offset + fold_h > out_h:
+        raise ValueError(
+            f"base rows [{base_offset}, {base_offset + fold_h}) must lie "
+            f"inside the target height {out_h}")
+    while hs % block_rows or fold_h % block_rows:
         block_rows //= 2
     # VMEM cap: unlike the forward (whose resident block is
     # block_rows-independent), this kernel's output block is
@@ -375,12 +383,13 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
                     (pad_x, wpad - out_w - pad_x), (0, 0)))
     cotp = jnp.moveaxis(cotp, -1, -2)  # (N, h2, C1, Wpad) channel-minor
 
-    xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy)
+    xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy,
+                          fold_h=fold_h, base_offset=base_offset)
 
     grid = (n, hs // block_rows, num_tiles)
     kernel = functools.partial(
         _splat_bwd_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
-        pad_y=pad_y, tile_w=tile_w)
+        pad_y=pad_y, tile_w=tile_w, fold_h=fold_h, base_offset=base_offset)
 
     row_spec = pl.BlockSpec((None, block_rows, ws),
                             lambda i, j, t: (i, j, 0),
@@ -420,36 +429,42 @@ def _gather_corner(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
     return g * inb[..., None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def splat_pallas_diff(values, coords, weights, out_hw,
                       max_dx: int = DEFAULT_MAX_DX,
                       max_dy: int = DEFAULT_MAX_DY,
-                      block_rows: int = 8):
+                      block_rows: int = 8,
+                      fold_h=None, base_offset: int = 0):
     """Differentiable wrapper: Pallas forward, gather-only backward.
 
     The VJP of a scatter-add needs only *gathers* of the cotangent at the
     forward coordinates (the main depth-gradient path flows through the
     bilinear fractions) — so the backward pass never touches the slow XLA
     scatter either. Gradients are masked to the kernel's vertical window
-    so they exactly correspond to the forward semantics.
+    so they exactly correspond to the forward semantics. ``fold_h`` /
+    ``base_offset`` follow :func:`splat_pallas` (spatial shard-local bases).
     """
     return splat_pallas(values, coords, weights, out_hw, max_dx=max_dx,
-                        max_dy=max_dy, block_rows=block_rows)
+                        max_dy=max_dy, block_rows=block_rows,
+                        fold_h=fold_h, base_offset=base_offset)
 
 
-def _fwd(values, coords, weights, out_hw, max_dx, max_dy, block_rows):
+def _fwd(values, coords, weights, out_hw, max_dx, max_dy, block_rows,
+         fold_h, base_offset):
     out = splat_pallas(values, coords, weights, out_hw, max_dx=max_dx,
-                       max_dy=max_dy, block_rows=block_rows)
+                       max_dy=max_dy, block_rows=block_rows,
+                       fold_h=fold_h, base_offset=base_offset)
     return out, (values, coords, weights)
 
 
-def _bwd(out_hw, max_dx, max_dy, block_rows, res, cot):
+def _bwd(out_hw, max_dx, max_dy, block_rows, fold_h, base_offset, res, cot):
     """Backward dispatch: tent-matmul kernel (default) or the XLA-gather
     reference implementation (LSI_TPU_SPLAT_BWD=gather — kept as the
     oracle; the two are asserted equivalent in tests/test_pallas.py)."""
     import os
     if os.environ.get("LSI_TPU_SPLAT_BWD") == "gather":
-        return _bwd_gather(out_hw, max_dx, max_dy, res, cot)
+        return _bwd_gather(out_hw, max_dx, max_dy, fold_h, base_offset,
+                           res, cot)
     values, coords, weights = res
     ga, gw = cot  # (N, Ho, Wo, C), (N, Ho, Wo, 1)
     n, hs, ws, c = values.shape
@@ -463,11 +478,14 @@ def _bwd(out_hw, max_dx, max_dy, block_rows, res, cot):
         with pltpu.force_tpu_interpret_mode():
             s = splat_pallas_bwd_sums(cot_payload, coords, out_hw,
                                       max_dx=max_dx, max_dy=max_dy,
-                                      block_rows=block_rows)
+                                      block_rows=block_rows,
+                                      fold_h=fold_h,
+                                      base_offset=base_offset)
     else:
         s = splat_pallas_bwd_sums(cot_payload, coords, out_hw,
                                   max_dx=max_dx, max_dy=max_dy,
-                                  block_rows=block_rows)  # (N,Hs,3,C1,Ws)
+                                  block_rows=block_rows, fold_h=fold_h,
+                                  base_offset=base_offset)  # (N,Hs,3,C1,Ws)
     s0, sx, sy = s[:, :, 0], s[:, :, 1], s[:, :, 2]   # (N,Hs,C1,Ws)
 
     # Combine in the kernel's channel-minor layout; transpose only the
@@ -487,10 +505,12 @@ def _bwd(out_hw, max_dx, max_dy, block_rows, res, cot):
             d_weights.astype(weights.dtype))
 
 
-def _bwd_gather(out_hw, max_dx, max_dy, res, cot):
+def _bwd_gather(out_hw, max_dx, max_dy, fold_h, base_offset, res, cot):
     values, coords, weights = res
     ga, gw = cot  # (N, Ho, Wo, C), (N, Ho, Wo, 1)
     out_h, _ = out_hw
+    if fold_h is None:
+        fold_h = out_h
     n, hs, ws, c = values.shape
 
     x = coords[..., 0].astype(jnp.float32)
@@ -505,7 +525,7 @@ def _bwd_gather(out_hw, max_dx, max_dy, res, cot):
     y0i = y0.astype(jnp.int32)
 
     # Vertical-window masks matching the kernel's dy loop, per corner row.
-    base_row = (jnp.arange(hs) % out_h)[None, :, None]
+    base_row = (jnp.arange(hs) % fold_h + base_offset)[None, :, None]
     ky = y0i - base_row
     m_row0 = (ky >= -max_dy) & (ky <= max_dy + 1)
     m_row1 = (ky + 1 >= -max_dy) & (ky + 1 <= max_dy + 1)

@@ -101,8 +101,12 @@ def render_forward_spatial(ldi: LDI,
         # single-device render's per-image max).
         local_max = jnp.max(jnp.where(valid > 0, td, -jnp.inf),
                             axis=(1, 2, 3), keepdims=True)
+        # all_gather+max instead of pmax: pmax has no differentiation rule
+        # and this path must be trainable (the shift is a per-image scalar;
+        # its gradient is cut — it cancels in the composite regardless).
+        gathered = jax.lax.all_gather(local_max, SPACE_AXIS)
         d_shift = jax.lax.stop_gradient(
-            jnp.maximum(jax.lax.pmax(local_max, SPACE_AXIS), 0.0))
+            jnp.maximum(jnp.max(gathered, axis=0), 0.0))
         zweight = jnp.exp(jnp.float32(zbuffer_scale)
                           * (td.astype(jnp.float32) - d_shift))
         weights = zweight * valid
@@ -117,12 +121,14 @@ def render_forward_spatial(ldi: LDI,
         local_coords = tc - shift
         out_h_local = hd + 2 * pad
         if use_pal:
+            # Differentiable wrapper: gradients flow into the LDI shards
+            # through the shard-local Pallas splat and back across the halo
+            # exchange (ppermute transposes to the reverse permutation).
             from lsi_tpu.kernels.splat_pallas import (DEFAULT_MAX_DX,
-                                                      splat_pallas)
-            accum, wsum = splat_pallas(
+                                                      splat_pallas_diff)
+            accum, wsum = splat_pallas_diff(
                 payload, local_coords, weights, (out_h_local, w),
-                max_dx=DEFAULT_MAX_DX, max_dy=pallas_max_dy, block_rows=32,
-                fold_h=hd, base_offset=pad)
+                DEFAULT_MAX_DX, pallas_max_dy, 32, hd, pad)
         else:
             base = jnp.arange(l * hd, dtype=jnp.int32) % hd + pad
             accum, wsum = splat_bilinear(
@@ -160,10 +166,12 @@ def render_forward_spatial(ldi: LDI,
     spec_ldi = P(batch_axis, None, SPACE_AXIS, None, None)
     spec_cam = P(batch_axis)
     out_spec = P(batch_axis, SPACE_AXIS)
+    # check_vma=False: pallas_call inside shard_map does not annotate its
+    # outputs' varying-mesh-axes metadata; shardings are explicit here.
     fn = jax.shard_map(
         local_render, mesh=mesh,
         in_specs=(spec_ldi, spec_ldi, spec_cam, spec_cam, spec_cam),
-        out_specs=(out_spec, out_spec, out_spec))
+        out_specs=(out_spec, out_spec, out_spec), check_vma=False)
     rgb, disparity, coverage = fn(ldi.textures, ldi.disparities,
                                   ldi.intrinsics, K_trg, pose_src2trg)
     return {"rgb": rgb, "disparity": disparity, "coverage": coverage}

@@ -125,3 +125,76 @@ def test_spatial_rejects_thin_shards(rng):
     with pytest.raises(ValueError, match="halo pad"):
         render_forward_spatial(ldi, pose, make_spatial_mesh(),
                                pallas_max_dy=2)
+
+
+def test_spatial_render_is_differentiable(rng):
+    """Gradients flow through the halo exchange into the LDI shards and
+    match the global windowed render's gradients (lax local splat path)."""
+    ldi = make_ldi(rng)
+    pose = translation_pose(np.array([[-0.3, 0.0, 0.0]], np.float32))
+    mesh = make_spatial_mesh()
+    trg = jnp.asarray(rng.uniform(size=(1, 32, 128, 3)), jnp.float32)
+
+    def loss_spatial(disp):
+        l2 = LDI(textures=ldi.textures, disparities=disp,
+                 intrinsics=ldi.intrinsics)
+        out = render_forward_spatial(l2, pose, mesh, zbuffer_scale=30.0,
+                                     pallas_max_dy=1)
+        return jnp.mean((out["rgb"] - trg) ** 2)
+
+    def loss_global(disp):
+        l2 = LDI(textures=ldi.textures, disparities=disp,
+                 intrinsics=ldi.intrinsics)
+        out = render_forward(l2, pose, zbuffer_scale=30.0, use_pallas="off")
+        return jnp.mean((out["rgb"] - trg) ** 2)
+
+    vs, gs = jax.value_and_grad(loss_spatial)(ldi.disparities)
+    vg, gg = jax.value_and_grad(loss_global)(ldi.disparities)
+    np.testing.assert_allclose(float(vs), float(vg), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gg),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_kernel_fold_offset_matches_windowed_lax(rng):
+    """The shard-local kernel contract (fold_h + base_offset, used by the
+    TPU branch of the spatial render) matches the windowed lax oracle with
+    the same base rows — forward and VJP (interpret mode, no shard_map:
+    pallas interpret inside shard_map stalls on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
+
+    b, l, hd, w, pad = 1, 2, 8, 128, 3
+    out_h_local = hd + 2 * pad
+    hs = l * hd
+    vals = jnp.asarray(rng.uniform(size=(b, hs, w, 4)), jnp.float32)
+    wts = jnp.asarray(rng.uniform(0.1, 1.0, (b, hs, w, 1)), jnp.float32)
+    base = np.arange(hs) % hd + pad
+    bx = np.broadcast_to(np.arange(w, dtype=np.float32), (b, hs, w))
+    by = base[None, :, None] + rng.uniform(-2, 2, (b, hs, w))
+    coords = jnp.asarray(
+        np.stack([bx + rng.uniform(-9, 9, (b, hs, w)), by], -1), jnp.float32)
+
+    def f_pallas(v):
+        with pltpu.force_tpu_interpret_mode():
+            a, ws_ = splat_pallas_diff(v, coords, wts, (out_h_local, w),
+                                       16, 1, 8, hd, pad)
+        return a, ws_
+
+    def f_lax(v):
+        return splat_bilinear(v, coords, wts, (out_h_local, w),
+                              max_dy_window=1,
+                              base_rows=jnp.asarray(base, jnp.int32))
+
+    a_p, w_p = f_pallas(vals)
+    a_l, w_l = f_lax(vals)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_l),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_l),
+                               rtol=1e-5, atol=1e-5)
+
+    # VJP through the values: the custom backward honors the same base rows
+    g_p = jax.grad(lambda v: jnp.sum(f_pallas(v)[0] ** 2))(vals)
+    g_l = jax.grad(lambda v: jnp.sum(f_lax(v)[0] ** 2))(vals)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_l),
+                               rtol=1e-4, atol=1e-5)
