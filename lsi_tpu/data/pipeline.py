@@ -42,6 +42,13 @@ def _example_stream(cfg: DataConfig, seed: int, repeat: bool):
     """Infinite (or single-pass) stream of single-example dicts."""
     if cfg.dataset == "synthetic":
         from lsi_tpu.data import synthetic
+        if cfg.root:
+            # Materialized dataset on disk (lsi_tpu.data.materialize):
+            # stream shards instead of generating — online generation
+            # cannot feed the chip at flagship resolution.
+            from lsi_tpu.data.materialize import cached_example_stream
+            yield from cached_example_stream(cfg, seed, repeat)
+            return
         # The synthetic train/val "split" is a disjoint seed range: val
         # scenes are drawn from generator streams a train run never visits.
         if cfg.split == "val":

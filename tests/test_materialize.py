@@ -1,0 +1,73 @@
+"""Materialized synthetic datasets: write shards, stream, split, fidelity."""
+
+import numpy as np
+import pytest
+
+from lsi_tpu.config import DataConfig
+from lsi_tpu.data import synthetic
+from lsi_tpu.data.materialize import cached_example_stream, materialize
+from lsi_tpu.data.pipeline import make_dataset
+
+
+@pytest.fixture(scope="module")
+def cache_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_cache")
+    n = materialize(str(out), kind="multi", seed=7, count=40,
+                    height=24, width=48, workers=0, shard_size=8)
+    assert n == 5
+    return str(out)
+
+
+def test_shard_stream_shapes_and_pipeline(cache_dir):
+    cfg = DataConfig(dataset="synthetic", root=cache_dir, height=24,
+                     width=48, batch_size=4, split="all")
+    b = next(make_dataset(cfg, seed=0))
+    assert b.src_image.shape == (4, 24, 48, 3)
+    assert b.trg_gt_disparity.shape == (4, 24, 48, 1)
+    assert float(b.src_image.max()) <= 1.0
+
+
+def test_cached_matches_online_generation(cache_dir):
+    """Same per-index seeding: shard content == online scenes up to the
+    uint8/f16 storage quantization."""
+    rng_ex = synthetic.scene_example("multi", 7, 0, 3, 24, 48)
+    cfg = DataConfig(dataset="synthetic", root=cache_dir, height=24,
+                     width=48, batch_size=1, split="all")
+    # find index 3's example in the (unshuffled) shard files directly
+    import glob
+    import os
+
+    data = np.load(sorted(glob.glob(os.path.join(cache_dir, "*.npz")))[0])
+    np.testing.assert_allclose(data["src_image"][3].astype(np.float32) / 255,
+                               rng_ex["src_image"], atol=1.0 / 255 + 1e-6)
+    np.testing.assert_allclose(
+        data["gt_disparity"][3].astype(np.float32),
+        rng_ex["gt_disparity"], rtol=2e-3, atol=1e-4)
+    # and the stream decodes the same values
+    ex = next(cached_example_stream(cfg, seed=0, repeat=True))
+    assert ex["src_image"].dtype == np.float32
+
+
+def test_split_holds_out_whole_shards(cache_dir):
+    base = dict(dataset="synthetic", root=cache_dir, height=24, width=48,
+                batch_size=2, val_fraction=0.2)
+    tr = next(make_dataset(DataConfig(**base, split="train"), seed=0))
+    va = next(make_dataset(DataConfig(**base, split="val"), seed=0))
+    assert np.abs(np.asarray(tr.src_image)
+                  - np.asarray(va.src_image)).max() > 1e-3
+
+
+def test_deterministic_per_seed(cache_dir):
+    cfg = DataConfig(dataset="synthetic", root=cache_dir, height=24,
+                     width=48, batch_size=4)
+    a = next(make_dataset(cfg, seed=5))
+    b = next(make_dataset(cfg, seed=5))
+    np.testing.assert_array_equal(np.asarray(a.src_image),
+                                  np.asarray(b.src_image))
+
+
+def test_missing_root_raises(tmp_path):
+    cfg = DataConfig(dataset="synthetic", root=str(tmp_path / "nope"),
+                     height=8, width=8, batch_size=1)
+    with pytest.raises(FileNotFoundError):
+        next(make_dataset(cfg, seed=0))
