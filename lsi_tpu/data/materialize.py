@@ -136,8 +136,10 @@ def cached_example_stream(cfg, seed: int, repeat: bool):
 
     Shard-level train/val split (whole shards held out, like KITTI drives);
     shard order and intra-shard order are reshuffled deterministically per
-    (seed, epoch). Decode (uint8 -> f32 /255, f16 -> f32) happens here, in
-    the prefetch thread — numpy IO releases the GIL.
+    (seed, epoch). Examples stay in STORAGE dtypes (uint8 RGB, f16
+    disparity): the host->device transfer rides the axon tunnel, and
+    shipping u8 is 4x less wire traffic than decoded f32 — the train/eval
+    steps decode ON DEVICE (``pipeline.decode_batch``).
     """
     import glob as globlib
 
@@ -161,24 +163,18 @@ def cached_example_stream(cfg, seed: int, repeat: bool):
             with np.load(files[fi]) as data:
                 # Materialize each array ONCE per shard — NpzFile re-reads
                 # the whole member from the zip on every __getitem__.
-                # (Per-EXAMPLE decode below: a whole-shard f32 conversion
-                # was measured 2.6x slower — 300 MB bursts trash the cache.)
                 arrs = {k: data[k] for k in data.files}
             n = arrs["src_image"].shape[0]
-            ones = np.ones(arrs["gt_disparity"].shape[1:], np.float32)
+            ones = np.ones(arrs["gt_disparity"].shape[1:], np.float16)
             for j in rng.permutation(n):
                 yield {
-                    "src_image": (arrs["src_image"][j].astype(np.float32)
-                                  / 255.0),
-                    "trg_image": (arrs["trg_image"][j].astype(np.float32)
-                                  / 255.0),
+                    "src_image": arrs["src_image"][j],
+                    "trg_image": arrs["trg_image"][j],
                     "intrinsics": arrs["intrinsics"][j],
                     "pose_src2trg": arrs["pose_src2trg"][j],
-                    "gt_disparity":
-                        arrs["gt_disparity"][j].astype(np.float32),
+                    "gt_disparity": arrs["gt_disparity"][j],
                     "gt_valid": ones,
-                    "trg_gt_disparity":
-                        arrs["trg_gt_disparity"][j].astype(np.float32),
+                    "trg_gt_disparity": arrs["trg_gt_disparity"][j],
                     "trg_gt_valid": ones,
                 }
         if not repeat:

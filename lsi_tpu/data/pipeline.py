@@ -38,6 +38,37 @@ class Batch:
     trg_gt_valid: Optional[jnp.ndarray] = None      # (B, H, W, 1) or None
 
 
+def decode_batch(batch: Batch) -> Batch:
+    """On-device decode of storage dtypes (jit-safe, no-op for f32 data).
+
+    Materialized datasets ship uint8 RGB and float16 disparities over the
+    host->device link (4x less wire traffic than decoded f32 — the axon
+    tunnel is the binding constraint at flagship resolution); train/eval
+    steps call this first, so the division by 255 runs at HBM rate and
+    fuses into the first consumer.
+    """
+    def img(x):
+        if x is not None and jnp.issubdtype(x.dtype, jnp.integer):
+            return x.astype(jnp.float32) / 255.0
+        return x
+
+    def f32(x):
+        if x is not None and x.dtype != jnp.float32:
+            return x.astype(jnp.float32)
+        return x
+
+    return Batch(
+        src_image=img(batch.src_image),
+        trg_image=img(batch.trg_image),
+        intrinsics=f32(batch.intrinsics),
+        pose_src2trg=f32(batch.pose_src2trg),
+        gt_disparity=f32(batch.gt_disparity),
+        gt_valid=f32(batch.gt_valid),
+        trg_gt_disparity=f32(batch.trg_gt_disparity),
+        trg_gt_valid=f32(batch.trg_gt_valid),
+    )
+
+
 def _example_stream(cfg: DataConfig, seed: int, repeat: bool):
     """Infinite (or single-pass) stream of single-example dicts."""
     if cfg.dataset == "synthetic":

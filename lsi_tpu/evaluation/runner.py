@@ -32,6 +32,8 @@ def build_eval_step(cfg: Config):
 
         @jax.jit
         def eval_step_mpi(params, batch):
+            from lsi_tpu.data.pipeline import decode_batch
+            batch = decode_batch(batch)
             mpi = model.apply({"params": params}, batch.src_image,
                               batch.intrinsics)
             out = render_mpi(mpi, batch.pose_src2trg,
@@ -55,6 +57,8 @@ def build_eval_step(cfg: Config):
 
     @jax.jit
     def eval_step(params, batch):
+        from lsi_tpu.data.pipeline import decode_batch
+        batch = decode_batch(batch)
         ldi = model.apply({"params": params}, batch.src_image,
                           batch.intrinsics)
         out = render_forward(
@@ -141,8 +145,13 @@ def export_image_grid(batch, rendered, pred, out_dir: str,
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
-    src = np.asarray(batch.src_image)
-    trg = np.asarray(batch.trg_image)
+
+    def dec(x):
+        x = np.asarray(x)
+        return x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x
+
+    src = dec(batch.src_image)
+    trg = dec(batch.trg_image)
     ren = np.clip(np.asarray(rendered), 0, 1)
     disp = _pred_disparity(pred)
     disp = disp / max(disp.max(), 1e-6)

@@ -94,6 +94,8 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
         return fn(params, image, intrinsics)
 
     def loss_fn(params, batch: Batch):
+        from lsi_tpu.data.pipeline import decode_batch
+        batch = decode_batch(batch)  # storage dtypes -> f32, on device
         pred = apply_model(params, batch.src_image, batch.intrinsics)
         if cfg.model.family == "mpi":
             from lsi_tpu.losses.losses import mpi_total_loss

@@ -24,7 +24,13 @@ def test_shard_stream_shapes_and_pipeline(cache_dir):
     b = next(make_dataset(cfg, seed=0))
     assert b.src_image.shape == (4, 24, 48, 3)
     assert b.trg_gt_disparity.shape == (4, 24, 48, 1)
-    assert float(b.src_image.max()) <= 1.0
+    # storage dtypes ride the host->device link; decode happens on device
+    assert b.src_image.dtype == np.uint8
+    from lsi_tpu.data.pipeline import decode_batch
+    d = decode_batch(b)
+    assert d.src_image.dtype == np.float32
+    assert float(d.src_image.max()) <= 1.0
+    assert d.gt_disparity.dtype == np.float32
 
 
 def test_cached_matches_online_generation(cache_dir):
@@ -43,9 +49,10 @@ def test_cached_matches_online_generation(cache_dir):
     np.testing.assert_allclose(
         data["gt_disparity"][3].astype(np.float32),
         rng_ex["gt_disparity"], rtol=2e-3, atol=1e-4)
-    # and the stream decodes the same values
+    # and the stream yields storage dtypes untouched
     ex = next(cached_example_stream(cfg, seed=0, repeat=True))
-    assert ex["src_image"].dtype == np.float32
+    assert ex["src_image"].dtype == np.uint8
+    assert ex["gt_disparity"].dtype == np.float16
 
 
 def test_split_holds_out_whole_shards(cache_dir):
