@@ -136,9 +136,10 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
             disp, valid = depth_to_disp(rec["depth"])
             trg_disp, trg_valid = depth_to_disp(rec.get("depth_right", ""))
 
+            from lsi_tpu.data.kitti import _to_wire_u8
             yield {
-                "src_image": left,
-                "trg_image": right,
+                "src_image": _to_wire_u8(left),
+                "trg_image": _to_wire_u8(right),
                 "intrinsics": K,
                 "pose_src2trg": pose,
                 "gt_disparity": disp[..., None],
