@@ -22,6 +22,11 @@ class ModelConfig:
     max_disparity: float = 1.0
     layer0_texture_from_input: bool = True  # layer-0 RGB = input passthrough.
     compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32).
+    ordering_floor: float = 0.2     # deeper-layer disparity ratio floor r:
+                                    # d_i = d_{i-1} * (r + (cap-r)*sigmoid).
+    ordering_cap: float = 1.0       # ratio cap; < 1.0 forces strict depth
+                                    # separation between consecutive layers
+                                    # (collapse guard for disocclusions).
     # MPI-family knobs (ignored for family="ldi"):
     num_planes: int = 16            # D fronto-parallel planes.
     min_depth: float = 1.0          # nearest plane depth (m).
@@ -52,9 +57,27 @@ class LossConfig:
                                       # the splat composite (0 = pure L1).
     smoothness_weight: float = 0.05
     edge_aware_smoothness: bool = True
+    smoothness_edge_gate_deep: bool = True  # False: only layer 0 is gated by
+                                      # image edges; hidden layers (>=1) get
+                                      # PLAIN smoothness — their surfaces have
+                                      # no observed texture edges, and the
+                                      # occluder boundary (where the image has
+                                      # an edge) is exactly where a hidden
+                                      # surface must stay smooth.
     splat_weight: float = 1.0
     inverse_warp_weight: float = 1.0
     depth_supervision_weight: float = 0.0  # >0 only when GT depth (SYNTHIA).
+    consistency_weight: float = 0.0   # >0: cross-view depth consistency —
+                                      # predict an LDI from the TARGET image
+                                      # too, and tie the source LDI's rendered
+                                      # target-frame disparity to the target
+                                      # LDI's layer-0 (both directions). The
+                                      # SURVEY §2 depth-consistency term; the
+                                      # lever against photometric depth drift.
+    symmetric: bool = False           # with the second (target) prediction,
+                                      # also apply the photometric loss in the
+                                      # trg->src direction (monodepth-style
+                                      # symmetric training).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,6 +118,12 @@ class TrainConfig:
     seed: int = 0
     remat_decoder: bool = False      # jax.checkpoint on decoder (512x1536).
     profile_dir: str = ""            # non-empty => jax.profiler traces.
+    stage_layer0_steps: int = 0      # >0: staged layer training (SURVEY §7
+                                     # hard-part 5) — for the first N steps
+                                     # the loss sees only layer 0 (deep heads
+                                     # get no gradient), booting a clean
+                                     # visible-surface estimate before deeper
+                                     # layers join.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -199,6 +199,8 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
     rng = np.random.default_rng(seed)
     calib_cache: Dict[str, Tuple[np.ndarray, float]] = {}
     dims_cache_img: Dict[str, Tuple[int, int]] = {}
+    from lsi_tpu.data.kitti_velodyne import VelodyneDepth
+    velo = VelodyneDepth()
 
     epoch = 0
     while True:
@@ -223,24 +225,34 @@ def example_stream(cfg: DataConfig, seed: int, repeat: bool
             pose = np.eye(4, dtype=np.float32)
             pose[0, 3] = -baseline
             src, trg = left, right
+            swapped = False
 
             if cfg.augment:
                 if rng.uniform() < 0.5:
                     # swap roles: predict from the right image instead
                     src, trg = trg, src
+                    swapped = True
                     pose = pose.copy()
                     pose[0, 3] = baseline
                 src, trg = _photometric_augment(rng, src, trg)
+
+            # LiDAR GT depth for the LEFT camera (SURVEY §3.4 depth eval):
+            # swapped pairs predict from the right image, where the left
+            # rasterization does not apply — leave valid empty there.
+            gt = None if swapped else velo.disparity_for(
+                rec["left"], rec["calib"], (oh, ow),
+                (cfg.height, cfg.width))
+            if gt is None:
+                gt = (np.zeros((cfg.height, cfg.width, 1), np.float32),
+                      np.zeros((cfg.height, cfg.width, 1), np.float32))
 
             yield {
                 "src_image": _to_wire_u8(src),
                 "trg_image": _to_wire_u8(trg),
                 "intrinsics": K.astype(np.float32),
                 "pose_src2trg": pose,
-                "gt_disparity": np.zeros(
-                    (cfg.height, cfg.width, 1), np.float32),
-                "gt_valid": np.zeros(
-                    (cfg.height, cfg.width, 1), np.float32),
+                "gt_disparity": gt[0],
+                "gt_valid": gt[1],
             }
         if not repeat:
             return

@@ -177,12 +177,21 @@ def view_synthesis_splat(ldi: LDI, target_image: jnp.ndarray,
     return photo
 
 
-def disparity_smoothness(ldi: LDI, edge_aware: bool = True) -> jnp.ndarray:
+def disparity_smoothness(ldi: LDI, edge_aware: bool = True,
+                         edge_gate_deep: bool = True) -> jnp.ndarray:
     """First-order disparity smoothness, optionally edge-aware.
 
     Edge-aware variant downweights the penalty across image edges of the
     layer-0 texture (exp(-|∇I|)), the standard monodepth idiom matching the
     reference's smoothness regularizer in spirit.
+
+    With ``edge_gate_deep=False``, the edge gate applies to layer 0 ONLY and
+    hidden layers (>= 1) keep the plain penalty: a hidden surface has no
+    observed texture edges, and the occluder boundary — exactly where the
+    visible image has a strong edge — is where hidden-layer disparity must
+    stay smooth to continue the background behind the occluder. Gating deep
+    layers by visible edges licenses depth cliffs there (measured against
+    disoccluded-depth abs_rel; BASELINE.md round-3 experiments).
     """
     d = ldi.disparities[..., 0]  # (B, L, H, W)
     dx = jnp.abs(d[..., :, 1:] - d[..., :, :-1])
@@ -191,9 +200,50 @@ def disparity_smoothness(ldi: LDI, edge_aware: bool = True) -> jnp.ndarray:
         img = ldi.textures[:, 0].astype(jnp.float32)  # (B, H, W, 3)
         gx = jnp.mean(jnp.abs(img[:, :, 1:] - img[:, :, :-1]), -1)
         gy = jnp.mean(jnp.abs(img[:, 1:, :] - img[:, :-1, :]), -1)
-        dx = dx * jnp.exp(-10.0 * gx)[:, None]
-        dy = dy * jnp.exp(-10.0 * gy)[:, None]
+        wx = jnp.exp(-10.0 * gx)[:, None]
+        wy = jnp.exp(-10.0 * gy)[:, None]
+        if not edge_gate_deep and d.shape[1] > 1:
+            # Broadcast the gate onto layer 0 only; deep layers get 1.0.
+            l = d.shape[1]
+            layer_is_0 = (jnp.arange(l) == 0)[None, :, None, None]
+            wx = jnp.where(layer_is_0, wx, 1.0)
+            wy = jnp.where(layer_is_0, wy, 1.0)
+        dx = dx * wx
+        dy = dy * wy
     return jnp.mean(dx) + jnp.mean(dy)
+
+
+def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
+                      pose_src2trg: jnp.ndarray,
+                      render_cfg: RenderConfig,
+                      K_trg=None) -> jnp.ndarray:
+    """Cross-view depth consistency (one direction): the SURVEY §2 term.
+
+    Forward-splats the SOURCE LDI's disparity into the target frame and
+    penalizes disagreement with the TARGET prediction's layer-0 disparity,
+    masked to rendered coverage. This ties the two views' geometry together:
+
+      * visible surfaces: the photometrically-preferred target geometry
+        anchors the source layer-0 against drift (abs_rel degrading while
+        PSNR improves — BASELINE.md r2 drift table);
+      * disoccluded surfaces: content hidden in the source is layer-0
+        *observed* in the target, so the target prediction transfers a real
+        photometric constraint onto the source's DEEP layers — the only
+        direct supervision hidden-surface geometry gets from two views.
+
+    Both directions are applied by :func:`total_loss_bidirectional`.
+    """
+    out = render_forward(
+        ldi_src, pose_src2trg, K_trg=K_trg,
+        out_hw=ldi_trg.disparities.shape[2:4],
+        zbuffer_scale=render_cfg.zbuffer_scale,
+        splat_method=render_cfg.splat_method,
+        use_pallas=render_cfg.use_pallas,
+        pallas_max_dy=render_cfg.pallas_max_dy,
+        check_window=False)
+    covered = (out["coverage"] > 0).astype(jnp.float32)
+    err = _charbonnier(out["disparity"] - ldi_trg.disparities[:, 0])
+    return divide_safe(jnp.sum(err * covered), jnp.sum(covered))
 
 
 def depth_supervision(ldi: LDI, gt_disparity: jnp.ndarray,
@@ -234,7 +284,8 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
     if loss_cfg.smoothness_weight > 0:
         parts["smoothness"] = (
             loss_cfg.smoothness_weight
-            * disparity_smoothness(ldi, loss_cfg.edge_aware_smoothness))
+            * disparity_smoothness(ldi, loss_cfg.edge_aware_smoothness,
+                                   loss_cfg.smoothness_edge_gate_deep))
     if loss_cfg.depth_supervision_weight > 0 and gt_disparity is not None:
         if gt_valid is None:
             gt_valid = jnp.ones_like(gt_disparity)
@@ -243,6 +294,58 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
             * depth_supervision(ldi, gt_disparity, gt_valid))
     parts["total"] = sum(parts.values())
     parts.update(diags)
+    return parts
+
+
+def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
+                             src_image: jnp.ndarray,
+                             trg_image: jnp.ndarray,
+                             pose_src2trg: jnp.ndarray,
+                             loss_cfg: LossConfig,
+                             render_cfg: RenderConfig,
+                             gt_disparity=None,
+                             gt_valid=None) -> Dict[str, jnp.ndarray]:
+    """Two-prediction training loss: photometric + cross-view consistency.
+
+    Used when ``loss_cfg.consistency_weight > 0`` or ``loss_cfg.symmetric``
+    — the trainer predicts an LDI from the target image as well, and this
+    assembles:
+
+      * the standard src->trg photometric/smoothness/supervision loss
+        (:func:`total_loss` on ``ldi_src``);
+      * with ``symmetric``: the mirrored trg->src photometric loss on
+        ``ldi_trg`` (smoothness included; depth supervision is src-frame
+        GT and is not mirrored);
+      * with ``consistency_weight``: :func:`depth_consistency` in BOTH
+        directions (src rendered into trg vs trg layer-0, and vice versa).
+
+    Diagnostics ride along un-summed, as in :func:`total_loss`.
+    """
+    from lsi_tpu.geometry.transforms import invert_pose
+
+    parts = total_loss(ldi_src, trg_image, pose_src2trg, loss_cfg,
+                       render_cfg, gt_disparity=gt_disparity,
+                       gt_valid=gt_valid)
+    total = parts.pop("total")
+    pose_trg2src = invert_pose(pose_src2trg)
+    if loss_cfg.symmetric:
+        rev = total_loss(ldi_trg, src_image, pose_trg2src, loss_cfg,
+                         render_cfg)
+        rev_total = rev.pop("total")
+        for k, v in rev.items():
+            if k == "window_dropped_frac":
+                parts["window_dropped_frac_rev"] = v
+            else:
+                parts[f"{k}_rev"] = v
+        total = total + rev_total
+    if loss_cfg.consistency_weight > 0:
+        cons = (depth_consistency(ldi_src, ldi_trg, pose_src2trg,
+                                  render_cfg)
+                + depth_consistency(ldi_trg, ldi_src, pose_trg2src,
+                                    render_cfg))
+        parts["depth_consistency"] = loss_cfg.consistency_weight * cons
+        total = total + parts["depth_consistency"]
+    parts["total"] = total
     return parts
 
 

@@ -35,17 +35,21 @@ class LDIPredictor(nn.Module):
 
         # --- Disparity heads: multiplicative ordering --------------------
         # Layer 0: d0 = dmin + (dmax - dmin) * sigmoid(raw0).
-        # Layer i>0: d_i = d_{i-1} * (r + (1 - r) * sigmoid(raw_i)), with a
-        # floor ratio r to keep layers separated from 0 disparity.
+        # Layer i>0: d_i = d_{i-1} * (r + (cap - r) * sigmoid(raw_i)), with a
+        # floor ratio r keeping layers separated from 0 disparity and an
+        # optional cap < 1 forcing strict depth separation between
+        # consecutive layers (a collapse guard: with cap == 1 a deep layer
+        # can sit exactly on top of layer 0 and never learn hidden geometry).
         raw_disp = nn.Conv(l, (3, 3), padding="SAME", dtype=dtype,
                            name="disp_head")(feats)
         raw_disp = raw_disp.astype(jnp.float32)
         sig = nn.sigmoid(raw_disp)  # (B, H, W, L)
         d0 = cfg.min_disparity + (cfg.max_disparity - cfg.min_disparity) * sig[..., 0]
         disps = [d0]
-        floor_ratio = 0.2
+        floor_ratio = cfg.ordering_floor
+        cap_ratio = cfg.ordering_cap
         for i in range(1, l):
-            ratio = floor_ratio + (1.0 - floor_ratio) * sig[..., i]
+            ratio = floor_ratio + (cap_ratio - floor_ratio) * sig[..., i]
             disps.append(disps[-1] * ratio)
         disparity = jnp.stack(disps, axis=1)[..., None]  # (B, L, H, W, 1)
 

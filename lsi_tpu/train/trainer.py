@@ -78,14 +78,29 @@ def create_state(cfg: Config, rng) -> TrainState:
                              tx=make_optimizer(cfg))
 
 
-def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
+def _truncate_ldi(ldi, num_layers: int):
+    """Keep the first ``num_layers`` layers of an LDI (staged training)."""
+    return dataclasses.replace(
+        ldi, textures=ldi.textures[:, :num_layers],
+        disparities=ldi.disparities[:, :num_layers])
+
+
+def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
+                    stage_layer0: bool = False):
     """Build the jitted, sharded train step.
 
     Returns ``step_fn(state, batch) -> (state, metrics)``. With a MeshPlan,
     in/out shardings are annotated so that the batch stays sharded on the
     data axis and XLA inserts the gradient all-reduce.
+
+    With ``stage_layer0`` (SURVEY §7 hard-part 5: staged layer training),
+    the loss sees only layer 0 of the prediction — the deep heads get no
+    gradient, booting a clean visible-surface estimate first; the Trainer
+    switches to the full step after ``cfg.train.stage_layer0_steps``.
     """
     model = build_model(cfg.model)
+    two_preds = (cfg.model.family != "mpi"
+                 and (cfg.loss.consistency_weight > 0 or cfg.loss.symmetric))
 
     def apply_model(params, image, intrinsics):
         fn = lambda p, im, K: model.apply({"params": p}, im, K)
@@ -104,7 +119,16 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None):
                 cfg.loss,
                 gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid,
                 render_cfg=cfg.render)
+        elif two_preds and not stage_layer0:
+            from lsi_tpu.losses.losses import total_loss_bidirectional
+            pred_trg = apply_model(params, batch.trg_image, batch.intrinsics)
+            parts = total_loss_bidirectional(
+                pred, pred_trg, batch.src_image, batch.trg_image,
+                batch.pose_src2trg, cfg.loss, cfg.render,
+                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
         else:
+            if stage_layer0:
+                pred = _truncate_ldi(pred, 1)
             parts = total_loss(
                 pred, batch.trg_image, batch.pose_src2trg,
                 cfg.loss, cfg.render,
@@ -151,6 +175,9 @@ class Trainer:
         self.ckpt = CheckpointManager(self.config.train.checkpoint_dir,
                                       self.config.train.max_to_keep)
         self.step_fn = make_train_step(self.config, self.plan)
+        self._stage_step_fn = (
+            make_train_step(self.config, self.plan, stage_layer0=True)
+            if self.config.train.stage_layer0_steps > 0 else None)
         self._eval_step = None
         self._eval_iter = None
 
@@ -209,7 +236,11 @@ class Trainer:
         try:
             for step in range(start_step, max_steps):
                 batch = next(data_iter)
-                state, metrics = self.step_fn(state, batch)
+                step_fn = (self._stage_step_fn
+                           if self._stage_step_fn is not None
+                           and step < cfg.train.stage_layer0_steps
+                           else self.step_fn)
+                state, metrics = step_fn(state, batch)
                 frames += cfg.data.batch_size
 
                 if (step + 1) % cfg.train.log_every == 0 or \

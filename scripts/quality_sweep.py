@@ -1,0 +1,134 @@
+"""Round-3 quality sweep: depth-drift + disoccluded-depth experiments.
+
+Runs the synthetic_multi protocol (BASELINE.md "Multi-object generalization
+protocol") under a set of loss/schedule variants, each into its own
+checkpoint dir with in-training held-out eval, then summarizes the quality
+trajectories (PSNR, layer-0 abs_rel, occluded-region metrics) per variant —
+the decision trail VERDICT r2 items 1-2 ask for.
+
+Usage:
+  python scripts/quality_sweep.py --steps 3000 --eval_every 250 \
+      --out /tmp/lsi_sweep [--variants base,cons ...]
+  python scripts/quality_sweep.py --summarize /tmp/lsi_sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+VARIANTS = {
+    # r2 flagship protocol — reproduces the measured drift (control arm).
+    "base": {},
+    # SURVEY §2 depth-consistency term (cross-view, both directions).
+    "cons": {"loss.consistency_weight": 0.5},
+    # consistency + symmetric photometric (monodepth-style both-ways).
+    "cons_sym": {"loss.consistency_weight": 0.5, "loss.symmetric": True},
+    # hidden layers get PLAIN smoothness (no visible-edge gating).
+    "hidsm": {"loss.smoothness_edge_gate_deep": False},
+    # ordering-ratio cap < 1: deep layers cannot collapse onto layer 0.
+    "cap": {"model.ordering_cap": 0.85},
+    # staged layer-0 boot (SURVEY §7 hard-part 5).
+    "stage": {"train.stage_layer0_steps": 500},
+    # stronger smoothness (drift may be photometric-null wandering).
+    "smooth3x": {"loss.smoothness_weight": 0.03},
+    # combo of the depth-drift levers.
+    "combo": {"loss.consistency_weight": 0.5, "loss.symmetric": True,
+              "loss.smoothness_edge_gate_deep": False,
+              "model.ordering_cap": 0.85},
+}
+
+
+def apply_overrides(cfg, kv: dict):
+    from lsi_tpu.train.__main__ import apply_override
+    for k, v in kv.items():
+        cfg = apply_override(cfg, f"{k}={v}")
+    return cfg
+
+
+def run_variant(name: str, steps: int, eval_every: int, out_root: str):
+    from lsi_tpu.config import get_config
+    from lsi_tpu.train.trainer import Trainer
+
+    ckpt = os.path.join(out_root, name)
+    cfg = get_config("synthetic_multi")
+    cfg = apply_overrides(cfg, VARIANTS[name])
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, max_steps=steps, eval_every=eval_every,
+        eval_batches=8, checkpoint_dir=ckpt, checkpoint_every=steps,
+        log_every=100))
+    print(f"=== variant {name}: {VARIANTS[name]} -> {ckpt}", flush=True)
+    t0 = time.time()
+    _, metrics = Trainer(cfg).train()
+    dt = time.time() - t0
+    print(f"=== {name} done in {dt / 60:.1f} min; last: "
+          f"{ {k: round(float(v), 4) for k, v in metrics.items()} }",
+          flush=True)
+
+
+def summarize(out_root: str):
+    rows = []
+    for name in sorted(os.listdir(out_root)):
+        jpath = os.path.join(out_root, name, "train.jsonl")
+        if not os.path.exists(jpath):
+            continue
+        evals = []
+        with open(jpath) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "eval_psnr" in rec:
+                    evals.append(rec)
+        if not evals:
+            continue
+        first, last = evals[0], evals[-1]
+        best_absrel = min(e.get("eval_abs_rel", 9e9) for e in evals)
+        rows.append({
+            "variant": name,
+            "evals": len(evals),
+            "psnr_first": round(first["eval_psnr"], 2),
+            "psnr_last": round(last["eval_psnr"], 2),
+            "absrel_first": round(first.get("eval_abs_rel", -1), 3),
+            "absrel_last": round(last.get("eval_abs_rel", -1), 3),
+            "absrel_best": round(best_absrel, 3),
+            "occ_absrel_last": round(last.get("eval_occ_abs_rel", -1), 3),
+            "occ_psnr_last": round(last.get("eval_occ_psnr", -1), 2),
+            "drift": round(last.get("eval_abs_rel", -1)
+                           - first.get("eval_abs_rel", -1), 3),
+        })
+    hdr = ["variant", "psnr_first", "psnr_last", "absrel_first",
+           "absrel_last", "absrel_best", "drift", "occ_absrel_last",
+           "occ_psnr_last"]
+    print("\t".join(hdr))
+    for r in rows:
+        print("\t".join(str(r[k]) for k in hdr))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--eval_every", type=int, default=250)
+    ap.add_argument("--out", default="/tmp/lsi_sweep")
+    ap.add_argument("--variants", default="")
+    ap.add_argument("--summarize", default="")
+    args = ap.parse_args()
+
+    if args.summarize:
+        summarize(args.summarize)
+        return
+    os.makedirs(args.out, exist_ok=True)
+    names = (args.variants.split(",") if args.variants
+             else list(VARIANTS))
+    for name in names:
+        if name not in VARIANTS:
+            sys.exit(f"unknown variant {name!r}; have {sorted(VARIANTS)}")
+        run_variant(name, args.steps, args.eval_every, args.out)
+    summarize(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -216,3 +216,96 @@ def test_synthia_right_depth_feeds_trg_gt(synthia_root, tmp_path):
     np.testing.assert_allclose(np.asarray(batch.trg_gt_disparity), 1.0 / 8.0,
                                rtol=1e-5)
     assert np.asarray(batch.trg_gt_valid).min() == 1.0
+
+
+# ----------------------------------------------------- velodyne LiDAR depth
+
+def test_velodyne_projection_analytic():
+    """Hand-computed rasterization: nearest-point z-buffer, range cuts,
+    1/depth convention."""
+    from lsi_tpu.data.kitti_velodyne import project_to_disparity
+    K = np.array([[100.0, 0, 32], [0, 100.0, 16], [0, 0, 1]])
+    proj = np.concatenate([K, np.zeros((3, 1))], axis=1)  # cam == velo frame
+    pts = np.array([
+        [0.1, 0.04, 10.0, 1.0],    # u=33, v=16.4->16, depth 10
+        [0.1, 0.04, 5.0, 1.0],     # same pixel (u=34,v=16.8->17)? no:
+                                   # u=100*0.02+32=34 -> different pixel
+        [-0.64, 0.0, 2.0, 1.0],    # u=0, v=16, depth 2
+        [0.0, 0.0, -5.0, 1.0],     # behind camera: dropped
+        [0.0, 0.0, 500.0, 1.0],    # beyond max_depth: dropped
+    ], np.float32)
+    disp, valid = project_to_disparity(pts, proj, (32, 64), (32, 64))
+    assert disp.shape == (32, 64, 1) and valid.shape == (32, 64, 1)
+    np.testing.assert_allclose(disp[16, 33, 0], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(disp[16, 0, 0], 0.5, rtol=1e-6)
+    # center pixel (behind-camera + too-far points) stays invalid
+    assert valid[16, 32, 0] == 0.0
+    assert valid.sum() == 3.0  # exactly the three in-range points
+
+
+def test_velodyne_zbuffer_nearest_wins():
+    from lsi_tpu.data.kitti_velodyne import project_to_disparity
+    K = np.array([[100.0, 0, 32], [0, 100.0, 16], [0, 0, 1]])
+    proj = np.concatenate([K, np.zeros((3, 1))], axis=1)
+    # two points projecting to the SAME pixel at different depths
+    pts = np.array([[0.0, 0.0, 10.0, 1.0],
+                    [0.0, 0.0, 4.0, 1.0]], np.float32)
+    disp, valid = project_to_disparity(pts, proj, (32, 64), (32, 64))
+    np.testing.assert_allclose(disp[16, 32, 0], 0.25, rtol=1e-6)  # 1/4 m
+
+
+def _write_velodyne_tree(root):
+    """Extend the fake KITTI tree with velodyne scans + velo->cam calib.
+
+    Uses the real KITTI axis convention (velo x fwd, y left, z up ->
+    cam x right, y down, z fwd) and crafts points that land INSIDE the
+    (64, 192)-pixel fake images under the fixture's P_rect_02."""
+    date = "2011_09_26"
+    drive = f"{date}_drive_0001_sync"
+    (root / date / "calib_velo_to_cam.txt").write_text(
+        "R: 0 -1 0 0 0 -1 1 0 0\nT: 0 0 0\n")
+    # append R_rect_00 (identity) to the cam calib
+    calib_path = root / date / "calib_cam_to_cam.txt"
+    calib_path.write_text(calib_path.read_text()
+                          + "R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+    vdir = root / date / drive / "velodyne_points" / "data"
+    os.makedirs(str(vdir), exist_ok=True)
+    # camera-frame target: pixel (u_orig, v_orig) ~ (100, 30) at depth 20 m.
+    # With P_rect_02: u = (fx*x_c + cx*z_c + 44.857)/z_c.
+    fx, cx, cy = 721.5377, 609.5593, 172.854
+    z_c = 20.0
+    x_c = ((100.0 * z_c) - cx * z_c - 44.85728) / fx
+    y_c = ((30.0 * z_c) - cy * z_c - 0.2163791) / fx
+    # invert cam<-velo: x_c=-y_v, y_c=-z_v, z_c=x_v
+    pt = np.array([z_c, -x_c, -y_c, 1.0], np.float32)
+    for i in range(3):
+        pt.tofile(str(vdir / f"{i:010d}.bin"))
+
+
+def test_kitti_stream_emits_lidar_gt(kitti_root):
+    import pathlib
+    _write_velodyne_tree(pathlib.Path(kitti_root))
+    cfg = DataConfig(dataset="kitti", root=kitti_root, height=32, width=96,
+                     batch_size=2, augment=False)
+    batch = next(make_dataset(cfg, seed=0, repeat=False))
+    disp = np.asarray(batch.gt_disparity)
+    valid = np.asarray(batch.gt_valid)
+    # each example carries exactly the one projected point
+    assert valid.sum(axis=(1, 2, 3)).tolist() == [1.0, 1.0]
+    # fake images are (64, 192) but calib is for full-res KITTI -> the
+    # stream scales by (96/192, 32/64): pixel (100, 30) -> (50, 15)
+    # rtol accounts for P_rect_02's small z-translation (P[2,3] = 2.7 mm)
+    np.testing.assert_allclose(disp[0, 15, 50, 0], 1.0 / 20.0, rtol=1e-3)
+    # and the depth eval path consumes it end-to-end
+    from lsi_tpu.evaluation.metrics import depth_metrics
+    import jax.numpy as jnp
+    m = depth_metrics(jnp.asarray(disp), jnp.asarray(disp),
+                      jnp.asarray(valid))
+    np.testing.assert_allclose(float(m["abs_rel"]), 0.0, atol=1e-6)
+
+
+def test_kitti_stream_no_velodyne_keeps_zero_gt(kitti_root):
+    cfg = DataConfig(dataset="kitti", root=kitti_root, height=32, width=96,
+                     batch_size=2, augment=False)
+    batch = next(make_dataset(cfg, seed=0, repeat=False))
+    assert np.asarray(batch.gt_valid).sum() == 0.0
