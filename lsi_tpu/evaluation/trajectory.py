@@ -4,6 +4,13 @@ BASELINE.json config 5: predict once, render 60 poses. TPU-first shape: the
 LDI stays resident in HBM and a single jitted ``lax.map``/``vmap`` program
 renders the whole pose batch — prediction cost is amortized and throughput
 is bounded by the splat render (the path the Pallas kernel accelerates).
+
+Perf note (r3): the canonical sinusoidal sweep runs as ONE jitted program —
+pose ramp, all renders, and the extreme-pose window-drop check fused — so a
+sweep costs a single dispatch on the axon tunnel instead of three (pose
+ramp + renders + check). The split version measured 207 views/s; each extra
+dispatch + device->host read costs ~10-20 ms of tunnel RTT per sweep
+(docs/perf.md §5), which the fusion recovers.
 """
 
 from __future__ import annotations
@@ -18,19 +25,26 @@ from lsi_tpu.geometry.ldi import LDI, render_forward
 from lsi_tpu.geometry.transforms import camera_trajectory, pose_from_euler
 
 
+def _one_render(ldi: LDI, pose, render_cfg: RenderConfig, check: bool):
+    out = render_forward(
+        ldi, jnp.broadcast_to(pose[None], (ldi.batch, 4, 4)),
+        zbuffer_scale=render_cfg.zbuffer_scale,
+        splat_method=render_cfg.splat_method,
+        use_pallas=render_cfg.use_pallas,
+        pallas_max_dy=render_cfg.pallas_max_dy,
+        check_window=check)
+    return out["rgb"], out["window_dropped_frac"]
+
+
 @partial(jax.jit, static_argnames=("render_cfg", "chunk", "check_each"))
 def _render_poses(ldi: LDI, poses: jnp.ndarray,
                   render_cfg: RenderConfig, chunk: int = 8,
                   check_each: bool = True):
+    """Arbitrary-pose path: per-view window diagnostic (nothing bounds
+    user-supplied poses, so every view is checked)."""
     def one(pose):
-        out = render_forward(
-            ldi, jnp.broadcast_to(pose[None], (ldi.batch, 4, 4)),
-            zbuffer_scale=render_cfg.zbuffer_scale,
-            splat_method=render_cfg.splat_method,
-            use_pallas=render_cfg.use_pallas,
-            pallas_max_dy=render_cfg.pallas_max_dy,
-            check_window=check_each and render_cfg.window_check)
-        return out["rgb"], out["window_dropped_frac"]
+        return _one_render(ldi, pose, render_cfg,
+                           check_each and render_cfg.window_check)
 
     # lax.map with batching: static HBM footprint (chunk renders in flight)
     # regardless of trajectory length — 60 or 600 poses both fit.
@@ -38,27 +52,42 @@ def _render_poses(ldi: LDI, poses: jnp.ndarray,
     return rgbs, jnp.max(dropped)
 
 
-@partial(jax.jit, static_argnames=("max_dy",))
-def _extreme_pose_drop(ldi: LDI, max_translation: jnp.ndarray,
-                       max_rotation: jnp.ndarray, max_dy: int):
-    """Window-drop fraction at the sweep's ±extreme poses, via projection
-    only (no splat) — one jitted program, poses built inside."""
-    from lsi_tpu.geometry.ldi import (_window_dropped_fraction,
-                                      project_layers_folded)
-
-    b, l, h, w = ldi.textures.shape[:4]
-    amp = jnp.asarray([[1.0], [-1.0]], jnp.float32)
-    poses = pose_from_euler(amp * max_rotation[None],
-                            amp * max_translation[None])
+@partial(jax.jit,
+         static_argnames=("num_views", "render_cfg", "chunk", "check"))
+def _render_canonical_sweep(ldi: LDI, max_translation: jnp.ndarray,
+                            max_rotation: jnp.ndarray, num_views: int,
+                            render_cfg: RenderConfig, chunk: int = 8,
+                            check: bool = True):
+    """Canonical sinusoidal sweep, fully fused: pose ramp + renders +
+    extreme-pose window check in one XLA program (single dispatch)."""
+    poses = camera_trajectory(num_views, max_translation, max_rotation)
 
     def one(pose):
-        tc, _, valid = project_layers_folded(
-            ldi, jnp.broadcast_to(pose[None], (b, 4, 4)))
-        return _window_dropped_fraction(
-            tc.reshape(b, l * h, w, 2), valid.reshape(b, l * h, w, 1),
-            (h, w), max_dy)
+        return _one_render(ldi, pose, render_cfg, False)[0]
 
-    return jnp.max(jax.lax.map(one, poses))
+    rgbs = jax.lax.map(one, poses, batch_size=chunk)
+
+    dropped = jnp.zeros((), jnp.float32)
+    if check:
+        # The sinusoidal sweep's displacement is bounded by the two extreme
+        # poses (±max amplitude): checking only those costs 2 projections
+        # (no splat) instead of a per-view diagnostic (~20% of throughput).
+        from lsi_tpu.geometry.ldi import (_window_dropped_fraction,
+                                          project_layers_folded)
+        b, l, h, w = ldi.textures.shape[:4]
+        amp = jnp.asarray([[1.0], [-1.0]], jnp.float32)
+        eposes = pose_from_euler(amp * max_rotation[None],
+                                 amp * max_translation[None])
+
+        def drop_one(pose):
+            tc, _, valid = project_layers_folded(
+                ldi, jnp.broadcast_to(pose[None], (b, 4, 4)))
+            return _window_dropped_fraction(
+                tc.reshape(b, l * h, w, 2), valid.reshape(b, l * h, w, 1),
+                (h, w), render_cfg.pallas_max_dy)
+
+        dropped = jnp.max(jax.lax.map(drop_one, eposes))
+    return rgbs, dropped
 
 
 def render_trajectory(ldi: LDI, num_views: int = 60,
@@ -69,28 +98,22 @@ def render_trajectory(ldi: LDI, num_views: int = 60,
     """Render a smooth sweep; returns (num_views, B, H, W, 3).
 
     Rotation sweeps are exactly the poses that overflow a too-small
-    ``pallas_max_dy``: the worst per-view dy-window drop is checked on the
-    host and warns loudly (see geometry.ldi.warn_window_drop). For the
-    canonical sinusoidal sweep the check runs once on the two EXTREME poses
-    (±max amplitude, which bound the sweep's displacement) instead of per
-    view — the per-view diagnostic cost ~20% of cfg-5 throughput; arbitrary
-    user-supplied ``poses`` keep the exact per-view check.
+    ``pallas_max_dy``: the worst dy-window drop is checked and warns loudly
+    (see geometry.ldi.warn_window_drop). For the canonical sinusoidal sweep
+    the whole computation — pose ramp, renders, and the ±extreme-pose
+    window check (which bounds the sweep's displacement) — is one jitted
+    program; arbitrary user-supplied ``poses`` keep the exact per-view
+    check.
     """
-    canonical = poses is None
-    if canonical:
-        # One jitted program for the pose ramp: eagerly, its ~20 small ops
-        # each pay the axon tunnel's per-op RTT (measurable per sweep).
-        poses = jax.jit(camera_trajectory, static_argnums=0)(
-            num_views, jnp.asarray(max_translation, jnp.float32),
-            jnp.asarray(max_rotation, jnp.float32))
-    frames, dropped = _render_poses(ldi, poses, render_cfg,
-                                    check_each=not canonical)
+    if poses is None:
+        frames, dropped = _render_canonical_sweep(
+            ldi, jnp.asarray(max_translation, jnp.float32),
+            jnp.asarray(max_rotation, jnp.float32), num_views,
+            render_cfg, check=render_cfg.window_check)
+    else:
+        frames, dropped = _render_poses(ldi, poses, render_cfg,
+                                        check_each=True)
     if render_cfg.window_check:
         from lsi_tpu.geometry.ldi import warn_window_drop
-        if canonical:
-            dropped = _extreme_pose_drop(
-                ldi, jnp.asarray(max_translation, jnp.float32),
-                jnp.asarray(max_rotation, jnp.float32),
-                render_cfg.pallas_max_dy)
         warn_window_drop(dropped, render_cfg.pallas_max_dy)
     return frames

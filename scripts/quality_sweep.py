@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 VARIANTS = {
     # r2 flagship protocol — reproduces the measured drift (control arm).
     "base": {},
