@@ -100,3 +100,38 @@ def test_masked_ssim_ignores_holes(rng):
     s_zero_fill = float(ssim(a * half, b_noisy * half))
     assert abs(s_masked - s_crop) < 0.02
     assert abs(s_masked - s_crop) < abs(s_zero_fill - s_crop)
+
+
+def test_trajectory_fused_window_check_warns(rng):
+    """The fused canonical-sweep program (r3: pose ramp + renders +
+    extreme-pose check in ONE jitted program) must still surface the
+    dy-window safety warning for over-displaced sweeps."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from lsi_tpu.config import RenderConfig
+    from lsi_tpu.geometry.ldi import LDI
+
+    h, w = 32, 64
+    tex = jnp.asarray(rng.uniform(size=(1, 2, h, w, 3)), jnp.float32)
+    disp = jnp.asarray(
+        np.sort(rng.uniform(0.1, 0.5, (1, 2, h, w, 1)), 1)[:, ::-1].copy(),
+        jnp.float32)
+    K = jnp.asarray(np.array(
+        [[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+         [0, 0, 1]], np.float32)[None])
+    ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+    cfg = RenderConfig(use_pallas="off", pallas_max_dy=1)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        frames = render_trajectory(ldi, 6, max_translation=(0.0, -0.5, 0.0),
+                                   render_cfg=cfg)
+        assert any("dy-window" in str(r.message) for r in rec)
+    assert frames.shape == (6, 1, h, w, 3)
+    # an in-window sweep stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        render_trajectory(ldi, 6, max_translation=(0.1, 0.0, 0.0),
+                          render_cfg=cfg)
+        assert not any("dy-window" in str(r.message) for r in rec)
