@@ -57,3 +57,31 @@ def test_eval_runner_on_synthetic(tmp_path):
             "abs_rel"} <= set(results)
     assert np.isfinite(results["psnr"])
     assert (tmp_path / "eval_grid.png").exists()
+
+
+def test_quality_sweep_summarize(tmp_path):
+    """The r3 sweep tool's jsonl summarizer extracts quality trajectories."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    d = tmp_path / "variantx"
+    d.mkdir()
+    rows = [
+        {"step": 100, "total": 0.1},
+        {"step": 250, "eval_psnr": 25.0, "eval_abs_rel": 0.25,
+         "eval_occ_abs_rel": 4.0, "eval_occ_psnr": 21.0},
+        {"step": 500, "eval_psnr": 26.0, "eval_abs_rel": 0.30,
+         "eval_occ_abs_rel": 3.5, "eval_occ_psnr": 22.0},
+    ]
+    with open(d / "train.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    import quality_sweep
+    out = quality_sweep.summarize(str(tmp_path))
+    assert len(out) == 1
+    r = out[0]
+    assert r["variant"] == "variantx"
+    assert r["psnr_first"] == 25.0 and r["psnr_last"] == 26.0
+    assert abs(r["drift"] - 0.05) < 1e-9
+    assert r["absrel_best"] == 0.25
