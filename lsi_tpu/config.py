@@ -78,6 +78,14 @@ class LossConfig:
                                       # also apply the photometric loss in the
                                       # trg->src direction (monodepth-style
                                       # symmetric training).
+    consistency_stop_target: bool = False  # treat the other prediction as a
+                                      # stop-gradient pseudo-label (prevents
+                                      # the mutual-agreement collusion the r3
+                                      # sweep measured with the plain term).
+    consistency_disocc_only: bool = False  # apply the consistency penalty
+                                      # only on disoccluded target pixels
+                                      # (source layer-0 coverage == 0) — aim
+                                      # the term at hidden-surface geometry.
 
 
 @dataclasses.dataclass(frozen=True)

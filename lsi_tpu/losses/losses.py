@@ -216,7 +216,9 @@ def disparity_smoothness(ldi: LDI, edge_aware: bool = True,
 def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
                       pose_src2trg: jnp.ndarray,
                       render_cfg: RenderConfig,
-                      K_trg=None) -> jnp.ndarray:
+                      K_trg=None,
+                      stop_target: bool = False,
+                      disocc_only: bool = False) -> jnp.ndarray:
     """Cross-view depth consistency (one direction): the SURVEY §2 term.
 
     Forward-splats the SOURCE LDI's disparity into the target frame and
@@ -231,6 +233,17 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
         photometric constraint onto the source's DEEP layers — the only
         direct supervision hidden-surface geometry gets from two views.
 
+    Args:
+      stop_target: treat the target prediction as a stop-gradient
+        pseudo-label. Without it the term is minimized by ANY mutual
+        agreement, and the r3 sweep measured exactly that collusion: both
+        predictions drift to an agreed-on wrong geometry (BASELINE.md r3
+        experiments — plain `cons` wins occ_psnr but loses abs_rel).
+      disocc_only: restrict the penalty to target pixels NOT covered by
+        the source layer-0 (the disoccluded set) — aims the term at the one
+        signal only cross-prediction provides (hidden-surface geometry) and
+        leaves visible-surface depth to the photometric losses.
+
     Both directions are applied by :func:`total_loss_bidirectional`.
     """
     out = render_forward(
@@ -241,9 +254,24 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
         use_pallas=render_cfg.use_pallas,
         pallas_max_dy=render_cfg.pallas_max_dy,
         check_window=False)
-    covered = (out["coverage"] > 0).astype(jnp.float32)
-    err = _charbonnier(out["disparity"] - ldi_trg.disparities[:, 0])
-    return divide_safe(jnp.sum(err * covered), jnp.sum(covered))
+    mask = (out["coverage"] > 0).astype(jnp.float32)
+    if disocc_only:
+        import jax
+
+        from lsi_tpu.evaluation.occlusion import disocclusion_mask
+        disocc = disocclusion_mask(
+            ldi_src, pose_src2trg,
+            out_hw=ldi_trg.disparities.shape[2:4],
+            zbuffer_scale=render_cfg.zbuffer_scale,
+            use_pallas=render_cfg.use_pallas,
+            pallas_max_dy=render_cfg.pallas_max_dy)
+        mask = mask * jax.lax.stop_gradient(disocc)
+    target = ldi_trg.disparities[:, 0]
+    if stop_target:
+        import jax
+        target = jax.lax.stop_gradient(target)
+    err = _charbonnier(out["disparity"] - target)
+    return divide_safe(jnp.sum(err * mask), jnp.sum(mask))
 
 
 def depth_supervision(ldi: LDI, gt_disparity: jnp.ndarray,
@@ -339,10 +367,12 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
                 parts[f"{k}_rev"] = v
         total = total + rev_total
     if loss_cfg.consistency_weight > 0:
+        kw = dict(stop_target=loss_cfg.consistency_stop_target,
+                  disocc_only=loss_cfg.consistency_disocc_only)
         cons = (depth_consistency(ldi_src, ldi_trg, pose_src2trg,
-                                  render_cfg)
+                                  render_cfg, **kw)
                 + depth_consistency(ldi_trg, ldi_src, pose_trg2src,
-                                    render_cfg))
+                                    render_cfg, **kw))
         parts["depth_consistency"] = loss_cfg.consistency_weight * cons
         total = total + parts["depth_consistency"]
     parts["total"] = total

@@ -42,6 +42,24 @@ VARIANTS = {
     "combo": {"loss.consistency_weight": 0.5, "loss.symmetric": True,
               "loss.smoothness_edge_gate_deep": False,
               "model.ordering_cap": 0.85},
+    # --- round-3b revisions (after the first sweep measured plain `cons`
+    # colluding: mutual agreement improves occ_psnr but degrades geometry)
+    # stop-gradient pseudo-label: the other prediction anchors, does not
+    # negotiate.
+    "cons_sg": {"loss.consistency_weight": 0.5,
+                "loss.consistency_stop_target": True},
+    # targeted: pseudo-label applied ONLY on disoccluded pixels (the signal
+    # cross-prediction uniquely provides — hidden-surface geometry).
+    "cons_occ": {"loss.consistency_weight": 0.5,
+                 "loss.consistency_stop_target": True,
+                 "loss.consistency_disocc_only": True},
+    # weight sensitivity of the plain term.
+    "cons_w01": {"loss.consistency_weight": 0.1},
+    # targeted pseudo-label + the hidden-smoothness gate.
+    "combo2": {"loss.consistency_weight": 0.5,
+               "loss.consistency_stop_target": True,
+               "loss.consistency_disocc_only": True,
+               "loss.smoothness_edge_gate_deep": False},
 }
 
 

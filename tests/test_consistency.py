@@ -241,3 +241,74 @@ def test_trainer_runs_staged_schedule(tmp_path):
         stage_layer0_steps=2, checkpoint_dir=str(tmp_path / "ckpt")))
     state, metrics = Trainer(cfg).train()
     assert np.isfinite(metrics["total"])
+
+
+def test_depth_consistency_stop_target_blocks_target_grad(rng):
+    """stop_target: no gradient reaches the pseudo-label side (the
+    anti-collusion design from the r3 sweep)."""
+    ldi_src = flat_ldi(rng, l=2, d=0.5)
+    ldi_trg = flat_ldi(rng, l=2, d=0.6)
+    pose = transforms.translation_pose(np.array([[-0.1, 0, 0]], np.float32))
+
+    def f(ds, dt):
+        a = LDI(textures=ldi_src.textures, disparities=ds,
+                intrinsics=ldi_src.intrinsics)
+        b = LDI(textures=ldi_trg.textures, disparities=dt,
+                intrinsics=ldi_trg.intrinsics)
+        return depth_consistency(a, b, pose, RenderConfig(),
+                                 stop_target=True)
+
+    gs, gt = jax.grad(f, argnums=(0, 1))(ldi_src.disparities,
+                                         ldi_trg.disparities)
+    assert float(jnp.max(jnp.abs(gs))) > 0
+    np.testing.assert_array_equal(np.asarray(gt), 0.0)
+
+
+def test_depth_consistency_disocc_only_masks_to_disocclusions(rng):
+    """disocc_only: with a source LDI whose layer 0 covers the whole target
+    (pure fronto-parallel translation, no holes), the masked term has an
+    empty support -> exactly 0; the unmasked term is positive."""
+    ldi_src = flat_ldi(rng, l=2, d=0.5)
+    ldi_trg = flat_ldi(rng, l=2, d=0.8)
+    pose = transforms.translation_pose(np.array([[-0.05, 0, 0]], np.float32))
+    full = depth_consistency(ldi_src, ldi_trg, pose, RenderConfig())
+    occ = depth_consistency(ldi_src, ldi_trg, pose, RenderConfig(),
+                            disocc_only=True)
+    assert float(full) > 0.1
+    # layer-0 covers everything except the 1-px border the shift uncovered;
+    # those border pixels still compare 0.5 vs 0.8 -> allow either empty
+    # support (0) or the same magnitude as full on a tiny support
+    assert float(occ) <= float(full) + 1e-6
+
+
+def test_disocc_only_targets_hidden_surface(rng):
+    """Construct a real disocclusion: a foreground strip over background in
+    the source. Disoccluded target pixels exist, and the masked term sees
+    ONLY them (loss reflects deep-layer vs pseudo-label disagreement)."""
+    h, w = 16, 32
+    # source: background plane d=0.2 everywhere (layer 1), foreground strip
+    # d=0.5 in columns 10..16 (layer 0); elsewhere layer 0 == background.
+    d0 = np.full((h, w, 1), 0.2, np.float32)
+    d0[:, 10:16] = 0.5
+    d1 = np.full((h, w, 1), 0.2, np.float32)
+    disp = np.stack([d0, d1], 0)[None]
+    tex = rng.uniform(size=(1, 2, h, w, 3)).astype(np.float32)
+    ldi_src = LDI(textures=jnp.asarray(tex), disparities=jnp.asarray(disp),
+                  intrinsics=jnp.asarray(make_K(w, h)[None]))
+    # target prediction: layer-0 = true scene from the right camera; for
+    # this test just use the true background disparity everywhere
+    ldi_trg = flat_ldi(rng, h=h, w=w, l=2, d=0.2)
+    # translate enough that the strip shifts ~7 px vs bg ~3 px: the ~4 px
+    # disocclusion band survives the 1-px bilinear tent reach of each side
+    pose = transforms.translation_pose(np.array([[-0.5, 0, 0]], np.float32))
+    occ = depth_consistency(ldi_src, ldi_trg, pose, RenderConfig(),
+                            stop_target=True, disocc_only=True)
+    # deep layer (0.2) == pseudo-label (0.2) at disocclusions -> near zero
+    assert float(occ) < 2e-3
+    # now corrupt the hidden layer: term must light up
+    bad = LDI(textures=ldi_src.textures,
+              disparities=ldi_src.disparities.at[:, 1].set(0.45),
+              intrinsics=ldi_src.intrinsics)
+    occ_bad = depth_consistency(bad, ldi_trg, pose, RenderConfig(),
+                                stop_target=True, disocc_only=True)
+    assert float(occ_bad) > float(occ) + 0.05
