@@ -44,6 +44,14 @@ VARIANTS = {
               "model.ordering_cap": 0.85},
     # --- round-3b revisions (after the first sweep measured plain `cons`
     # colluding: mutual agreement improves occ_psnr but degrades geometry)
+    # symmetric photometric ONLY (no consistency): isolates the factor that
+    # made cons_sym match base layer-0 depth at much better occ_psnr.
+    "sym": {"loss.symmetric": True},
+    # symmetric photometric + targeted pseudo-label consistency.
+    "sym_occ": {"loss.symmetric": True,
+                "loss.consistency_weight": 0.5,
+                "loss.consistency_stop_target": True,
+                "loss.consistency_disocc_only": True},
     # stop-gradient pseudo-label: the other prediction anchors, does not
     # negotiate.
     "cons_sg": {"loss.consistency_weight": 0.5,
@@ -106,6 +114,17 @@ def summarize(out_root: str):
             continue
         first, last = evals[0], evals[-1]
         best_absrel = min(e.get("eval_abs_rel", 9e9) for e in evals)
+        # drift = late abs_rel minus the post-warmup minimum (the r2 drift
+        # statistic: geometry getting WORSE after it was once good); the
+        # last two evals are averaged to damp single-eval noise.
+        settled = [e.get("eval_abs_rel", 9e9) for e in evals
+                   if e.get("step", 0) >= 500]
+        late = ([e.get("eval_abs_rel", -1) for e in evals[-2:]])
+        late_avg = sum(late) / max(1, len(late))
+        drift = (late_avg - min(settled)) if settled else 0.0
+        # occ averaged over the last 3 evals (2.5% support is noisy)
+        occ_tail = [e.get("eval_occ_abs_rel", -1) for e in evals[-3:]]
+        occp_tail = [e.get("eval_occ_psnr", -1) for e in evals[-3:]]
         rows.append({
             "variant": name,
             "evals": len(evals),
@@ -114,10 +133,9 @@ def summarize(out_root: str):
             "absrel_first": round(first.get("eval_abs_rel", -1), 3),
             "absrel_last": round(last.get("eval_abs_rel", -1), 3),
             "absrel_best": round(best_absrel, 3),
-            "occ_absrel_last": round(last.get("eval_occ_abs_rel", -1), 3),
-            "occ_psnr_last": round(last.get("eval_occ_psnr", -1), 2),
-            "drift": round(last.get("eval_abs_rel", -1)
-                           - first.get("eval_abs_rel", -1), 3),
+            "occ_absrel_last": round(sum(occ_tail) / len(occ_tail), 3),
+            "occ_psnr_last": round(sum(occp_tail) / len(occp_tail), 2),
+            "drift": round(drift, 3),
         })
     hdr = ["variant", "psnr_first", "psnr_last", "absrel_first",
            "absrel_last", "absrel_best", "drift", "occ_absrel_last",
@@ -146,7 +164,22 @@ def main():
     for name in names:
         if name not in VARIANTS:
             sys.exit(f"unknown variant {name!r}; have {sorted(VARIANTS)}")
-        run_variant(name, args.steps, args.eval_every, args.out)
+    if len(names) > 1:
+        # One SUBPROCESS per variant: running several Trainers in-process
+        # leaks host memory (jit executable caches + axon client buffers
+        # accumulate per config — the first in-process sweep grew to 130 GB
+        # RSS and was OOM-killed mid-variant 5).
+        import subprocess
+        for name in names:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--steps", str(args.steps),
+                 "--eval_every", str(args.eval_every),
+                 "--out", args.out, "--variants", name]).returncode
+            if rc != 0:
+                print(f"=== variant {name} FAILED rc={rc}", flush=True)
+    else:
+        run_variant(names[0], args.steps, args.eval_every, args.out)
     summarize(args.out)
 
 
