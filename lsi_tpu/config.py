@@ -132,6 +132,11 @@ class TrainConfig:
                                      # get no gradient), booting a clean
                                      # visible-surface estimate before deeper
                                      # layers join.
+    skip_nonfinite_updates: bool = True  # optax.apply_if_finite: a step with
+                                     # inf/nan grads is SKIPPED (params/opt
+                                     # state untouched) instead of poisoning
+                                     # the run; the NaN halt guard still
+                                     # fires if 100 consecutive steps fail.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -254,7 +254,18 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
         use_pallas=render_cfg.use_pallas,
         pallas_max_dy=render_cfg.pallas_max_dy,
         check_window=False)
-    mask = (out["coverage"] > 0).astype(jnp.float32)
+    # Numerics: disoccluded pixels carry ONLY deep-layer weight, which after
+    # the per-image soft-z shift is ~exp(-scale) (1e-11 at scale 30). The
+    # composite ratio is well-defined, but the VJP's (payload - out)/wsum
+    # intermediate explodes when wsum underflows toward f32-denormal — the
+    # r3 sym_occ arm NaN'd at step ~2300 exactly this way. Re-normalize the
+    # disparity with a denormal floor (drops only wsum <= 1e-30 pixels,
+    # keeping every real contribution while bounding 1/wsum at 1e30, inside
+    # f32 range for the whole chain).
+    wsum = out["coverage"]
+    disp_num = out["disparity"] * wsum  # recover accumulated disparity mass
+    rendered_disp = divide_safe(disp_num, wsum, eps=1e-30)
+    mask = (wsum > 1e-30).astype(jnp.float32)
     if disocc_only:
         import jax
 
@@ -270,7 +281,7 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
     if stop_target:
         import jax
         target = jax.lax.stop_gradient(target)
-    err = _charbonnier(out["disparity"] - target)
+    err = _charbonnier(rendered_disp - target)
     return divide_safe(jnp.sum(err * mask), jnp.sum(mask))
 
 

@@ -62,10 +62,19 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         decay_steps=max(cfg.train.max_steps, cfg.train.warmup_steps + 1),
         end_value=cfg.train.learning_rate * 0.1,
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
         optax.adam(schedule, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2),
     )
+    if cfg.train.skip_nonfinite_updates:
+        # Failure containment (one bad batch must not poison a long run):
+        # a non-finite gradient skips the update — params and Adam moments
+        # stay untouched — rather than writing NaN into the state. After
+        # 100 CONSECUTIVE bad steps updates pass through again, at which
+        # point the trainer's NaN halt guard stops the run with a debug
+        # dump (the two mechanisms compose).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_state(cfg: Config, rng) -> TrainState:

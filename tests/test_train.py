@@ -140,3 +140,52 @@ def test_checkpoint_roundtrip(tmp_path):
     again = import_params_npz(fresh.params, path)
     for x, y in zip(jax.tree.leaves(again), b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_nonfinite_update_skipped(rng):
+    """optax.apply_if_finite containment: a poisoned batch must leave the
+    params untouched (finite), not write NaN into the state (r3: the
+    sym_occ sweep arm was killed by exactly one such step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsi_tpu.config import (Config, DataConfig, LossConfig, ModelConfig,
+                                RenderConfig, TrainConfig)
+    from lsi_tpu.data.pipeline import Batch, make_dataset
+    from lsi_tpu.train.trainer import create_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(num_layers=2, base_filters=4, num_scales=2),
+        render=RenderConfig(use_pallas="off"),
+        loss=LossConfig(photo_mode="both"),
+        data=DataConfig(dataset="synthetic", height=16, width=32,
+                        batch_size=4),
+        train=TrainConfig(warmup_steps=0, max_steps=10),
+    )
+    state = create_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg)
+    good = next(make_dataset(cfg.data, seed=0))
+    state, _ = step(state, good)  # one clean step so lr > 0
+    before = jax.device_get(state.params)
+
+    bad = Batch(
+        src_image=jnp.full_like(good.src_image, jnp.nan),
+        trg_image=good.trg_image,
+        intrinsics=good.intrinsics,
+        pose_src2trg=good.pose_src2trg,
+        gt_disparity=good.gt_disparity,
+        gt_valid=good.gt_valid,
+        trg_gt_disparity=good.trg_gt_disparity,
+        trg_gt_valid=good.trg_gt_valid,
+    )
+    state2, metrics = step(state, bad)
+    after = jax.device_get(state2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(after)[0])).all()
+
+    # ... and a clean step afterwards still trains
+    state3, m3 = step(state2, good)
+    assert np.isfinite(float(m3["total"]))
