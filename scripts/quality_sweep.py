@@ -52,6 +52,11 @@ VARIANTS = {
                 "loss.consistency_weight": 0.5,
                 "loss.consistency_stop_target": True,
                 "loss.consistency_disocc_only": True},
+    # same at a gentler weight (the 0.5 arms trade ~2 dB PSNR at 2.5k).
+    "sym_occ_w25": {"loss.symmetric": True,
+                    "loss.consistency_weight": 0.25,
+                    "loss.consistency_stop_target": True,
+                    "loss.consistency_disocc_only": True},
     # stop-gradient pseudo-label: the other prediction anchors, does not
     # negotiate.
     "cons_sg": {"loss.consistency_weight": 0.5,
