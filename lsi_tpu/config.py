@@ -86,6 +86,14 @@ class LossConfig:
                                       # only on disoccluded target pixels
                                       # (source layer-0 coverage == 0) — aim
                                       # the term at hidden-surface geometry.
+    consistency_start_step: int = 0   # >0: enable the consistency term only
+                                      # from this step on (a second compiled
+                                      # step, same mechanism as staged
+                                      # training) — pseudo-labels from a
+                                      # freshly-initialized network are
+                                      # noise, and the r3 sweep measured the
+                                      # from-step-0 arms paying ~2 dB PSNR
+                                      # for it (BASELINE.md r3 experiments).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -187,6 +187,16 @@ class Trainer:
         self._stage_step_fn = (
             make_train_step(self.config, self.plan, stage_layer0=True)
             if self.config.train.stage_layer0_steps > 0 else None)
+        # Consistency warm-up: pseudo-labels from a freshly-initialized
+        # network are noise — before ``loss.consistency_start_step`` the
+        # term is dropped via a second compiled step (the from-step-0
+        # sweep arms paid ~2 dB PSNR; BASELINE.md r3 experiments).
+        self._cons_warmup_step_fn = None
+        if (self.config.loss.consistency_weight > 0
+                and self.config.loss.consistency_start_step > 0):
+            warm_cfg = self.config.replace(loss=dataclasses.replace(
+                self.config.loss, consistency_weight=0.0))
+            self._cons_warmup_step_fn = make_train_step(warm_cfg, self.plan)
         self._eval_step = None
         self._eval_iter = None
 
@@ -245,10 +255,14 @@ class Trainer:
         try:
             for step in range(start_step, max_steps):
                 batch = next(data_iter)
-                step_fn = (self._stage_step_fn
-                           if self._stage_step_fn is not None
-                           and step < cfg.train.stage_layer0_steps
-                           else self.step_fn)
+                if (self._stage_step_fn is not None
+                        and step < cfg.train.stage_layer0_steps):
+                    step_fn = self._stage_step_fn
+                elif (self._cons_warmup_step_fn is not None
+                        and step < cfg.loss.consistency_start_step):
+                    step_fn = self._cons_warmup_step_fn
+                else:
+                    step_fn = self.step_fn
                 state, metrics = step_fn(state, batch)
                 frames += cfg.data.batch_size
 

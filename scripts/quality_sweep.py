@@ -57,6 +57,18 @@ VARIANTS = {
                     "loss.consistency_weight": 0.25,
                     "loss.consistency_stop_target": True,
                     "loss.consistency_disocc_only": True},
+    # targeted pseudo-label with a warm-up: the consistency term only turns
+    # on once the pseudo-labels mean something (the from-step-0 arms pay
+    # ~2 dB PSNR learning from a random net's labels).
+    "sym_occ_d500": {"loss.symmetric": True,
+                     "loss.consistency_weight": 0.5,
+                     "loss.consistency_stop_target": True,
+                     "loss.consistency_disocc_only": True,
+                     "loss.consistency_start_step": 500},
+    "cons_occ_d500": {"loss.consistency_weight": 0.5,
+                      "loss.consistency_stop_target": True,
+                      "loss.consistency_disocc_only": True,
+                      "loss.consistency_start_step": 500},
     # stop-gradient pseudo-label: the other prediction anchors, does not
     # negotiate.
     "cons_sg": {"loss.consistency_weight": 0.5,

@@ -73,6 +73,10 @@ def test_quality_sweep_summarize(tmp_path):
          "eval_occ_abs_rel": 4.0, "eval_occ_psnr": 21.0},
         {"step": 500, "eval_psnr": 26.0, "eval_abs_rel": 0.30,
          "eval_occ_abs_rel": 3.5, "eval_occ_psnr": 22.0},
+        {"step": 750, "eval_psnr": 26.5, "eval_abs_rel": 0.28,
+         "eval_occ_abs_rel": 3.2, "eval_occ_psnr": 22.5},
+        {"step": 1000, "eval_psnr": 27.0, "eval_abs_rel": 0.32,
+         "eval_occ_abs_rel": 3.0, "eval_occ_psnr": 23.0},
     ]
     with open(d / "train.jsonl", "w") as f:
         for r in rows:
@@ -82,6 +86,11 @@ def test_quality_sweep_summarize(tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r["variant"] == "variantx"
-    assert r["psnr_first"] == 25.0 and r["psnr_last"] == 26.0
-    assert abs(r["drift"] - 0.05) < 1e-9
+    assert r["psnr_first"] == 25.0 and r["psnr_last"] == 27.0
+    # drift = mean(last two abs_rel) - min(settled abs_rel, step >= 500)
+    #       = (0.28 + 0.32)/2 - 0.28 = 0.02
+    assert abs(r["drift"] - 0.02) < 1e-9
     assert r["absrel_best"] == 0.25
+    # occ columns average the last 3 evals (summarizer rounds to 3 places)
+    assert abs(r["occ_absrel_last"] - (3.5 + 3.2 + 3.0) / 3) < 1e-3
+    assert abs(r["occ_psnr_last"] - (22.0 + 22.5 + 23.0) / 3) < 1e-2

@@ -312,3 +312,31 @@ def test_disocc_only_targets_hidden_surface(rng):
     occ_bad = depth_consistency(bad, ldi_trg, pose, RenderConfig(),
                                 stop_target=True, disocc_only=True)
     assert float(occ_bad) > float(occ) + 0.05
+
+
+def test_trainer_consistency_warmup_switches(tmp_path):
+    """consistency_start_step: the term is absent from the jsonl before the
+    switch step and present after (two compiled steps, staged-training
+    mechanism)."""
+    import json
+
+    from lsi_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True,
+                    consistency_start_step=2)
+    cfg = cfg.replace(train=TrainConfig(
+        max_steps=4, warmup_steps=1, log_every=1, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path / "ckpt")))
+    _, metrics = Trainer(cfg).train()
+    assert np.isfinite(metrics["total"])
+    recs = {}
+    with open(tmp_path / "ckpt" / "train.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "total" in rec:
+                recs[rec["step"]] = rec
+    # steps 1-2 ran the warm-up step (no consistency term); symmetric
+    # photometric is active throughout
+    assert "depth_consistency" not in recs[2]
+    assert "photo_splat_rev" in recs[2]
+    assert "depth_consistency" in recs[4]
