@@ -86,6 +86,17 @@ class LossConfig:
                                       # only on disoccluded target pixels
                                       # (source layer-0 coverage == 0) — aim
                                       # the term at hidden-surface geometry.
+    consistency_deep_only: bool = False  # stop-gradient the SOURCE layer-0
+                                      # disparity inside the consistency term
+                                      # so its gradient trains only the deep
+                                      # (hidden) layers — the r3 sweep
+                                      # measured the disocc-only term still
+                                      # perturbing layer-0 geometry (abs_rel
+                                      # 0.23 -> 0.29 once enabled) even
+                                      # though its *mask* is disoccluded
+                                      # pixels: layer-0's splat footprint and
+                                      # soft-z weight leak into every target
+                                      # pixel's normalization.
     consistency_start_step: int = 0   # >0: enable the consistency term only
                                       # from this step on (a second compiled
                                       # step, same mechanism as staged

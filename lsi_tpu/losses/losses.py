@@ -218,7 +218,8 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
                       render_cfg: RenderConfig,
                       K_trg=None,
                       stop_target: bool = False,
-                      disocc_only: bool = False) -> jnp.ndarray:
+                      disocc_only: bool = False,
+                      deep_only: bool = False) -> jnp.ndarray:
     """Cross-view depth consistency (one direction): the SURVEY §2 term.
 
     Forward-splats the SOURCE LDI's disparity into the target frame and
@@ -243,9 +244,23 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
         the source layer-0 (the disoccluded set) — aims the term at the one
         signal only cross-prediction provides (hidden-surface geometry) and
         leaves visible-surface depth to the photometric losses.
+      deep_only: stop-gradient the SOURCE layer-0 disparity before the
+        splat, so the term's gradient reaches only the deep (hidden)
+        layers. Even with ``disocc_only`` the r3 sweep measured layer-0
+        drift (abs_rel 0.23→0.29 the moment the term enabled): layer-0's
+        splat footprint and per-pixel soft-z normalization appear in every
+        rendered-disparity value, so masking the *error* does not mask the
+        *gradient path*. Hidden-surface supervision should not renegotiate
+        the visible surface.
 
     Both directions are applied by :func:`total_loss_bidirectional`.
     """
+    if deep_only:
+        import jax
+        d = ldi_src.disparities
+        d = jnp.concatenate(
+            [jax.lax.stop_gradient(d[:, :1]), d[:, 1:]], axis=1)
+        ldi_src = ldi_src.replace(disparities=d)
     out = render_forward(
         ldi_src, pose_src2trg, K_trg=K_trg,
         out_hw=ldi_trg.disparities.shape[2:4],
@@ -379,7 +394,8 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
         total = total + rev_total
     if loss_cfg.consistency_weight > 0:
         kw = dict(stop_target=loss_cfg.consistency_stop_target,
-                  disocc_only=loss_cfg.consistency_disocc_only)
+                  disocc_only=loss_cfg.consistency_disocc_only,
+                  deep_only=loss_cfg.consistency_deep_only)
         cons = (depth_consistency(ldi_src, ldi_trg, pose_src2trg,
                                   render_cfg, **kw)
                 + depth_consistency(ldi_trg, ldi_src, pose_trg2src,

@@ -69,6 +69,22 @@ VARIANTS = {
                       "loss.consistency_stop_target": True,
                       "loss.consistency_disocc_only": True,
                       "loss.consistency_start_step": 500},
+    # r3c: the d500 warm-up arms still drifted layer-0 once the term
+    # enabled (abs_rel 0.23 -> 0.29); deep_only stop-grads the source
+    # layer-0 disparity inside the term so only hidden layers train on it.
+    "sym_occ_deep": {"loss.symmetric": True,
+                     "loss.consistency_weight": 0.5,
+                     "loss.consistency_stop_target": True,
+                     "loss.consistency_disocc_only": True,
+                     "loss.consistency_start_step": 500,
+                     "loss.consistency_deep_only": True},
+    # same, gentler weight.
+    "sym_occ_deep_w25": {"loss.symmetric": True,
+                         "loss.consistency_weight": 0.25,
+                         "loss.consistency_stop_target": True,
+                         "loss.consistency_disocc_only": True,
+                         "loss.consistency_start_step": 500,
+                         "loss.consistency_deep_only": True},
     # stop-gradient pseudo-label: the other prediction anchors, does not
     # negotiate.
     "cons_sg": {"loss.consistency_weight": 0.5,

@@ -314,6 +314,25 @@ def test_disocc_only_targets_hidden_surface(rng):
     assert float(occ_bad) > float(occ) + 0.05
 
 
+def test_depth_consistency_deep_only_blocks_layer0_grad(rng):
+    """deep_only: the term's gradient reaches ONLY the source's hidden
+    layers — layer-0 geometry stays owned by the photometric losses (the
+    r3c fix for layer-0 drifting the moment the disocc term enabled)."""
+    ldi_src = flat_ldi(rng, l=2, d=0.5)
+    ldi_trg = flat_ldi(rng, l=2, d=0.6)
+    pose = transforms.translation_pose(np.array([[-0.1, 0, 0]], np.float32))
+
+    def f(ds):
+        a = LDI(textures=ldi_src.textures, disparities=ds,
+                intrinsics=ldi_src.intrinsics)
+        return depth_consistency(a, ldi_trg, pose, RenderConfig(),
+                                 stop_target=True, deep_only=True)
+
+    gs = jax.grad(f)(ldi_src.disparities)
+    np.testing.assert_array_equal(np.asarray(gs[:, 0]), 0.0)
+    assert float(jnp.max(jnp.abs(gs[:, 1]))) > 0
+
+
 def test_trainer_consistency_warmup_switches(tmp_path):
     """consistency_start_step: the term is absent from the jsonl before the
     switch step and present after (two compiled steps, staged-training
