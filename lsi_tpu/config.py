@@ -86,6 +86,19 @@ class LossConfig:
                                       # only on disoccluded target pixels
                                       # (source layer-0 coverage == 0) — aim
                                       # the term at hidden-surface geometry.
+    consistency_anchor_weight: float = 0.0  # >0: a SECOND consistency term
+                                      # on the complementary (visible)
+                                      # support — negotiated (no stop-
+                                      # target), all layers, always on.
+                                      # r3c measured the split: the
+                                      # negotiated term anchors layer-0
+                                      # (cons_sym abs_rel 0.201 vs base
+                                      # 0.229) while the stop-target
+                                      # pseudo-label term owns disoccluded
+                                      # geometry; giving them disjoint
+                                      # supports composes both without the
+                                      # anchor renegotiating hidden
+                                      # surfaces.
     consistency_deep_only: bool = False  # stop-gradient the SOURCE layer-0
                                       # disparity inside the consistency term
                                       # so its gradient trains only the deep

@@ -219,6 +219,7 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
                       K_trg=None,
                       stop_target: bool = False,
                       disocc_only: bool = False,
+                      visible_only: bool = False,
                       deep_only: bool = False) -> jnp.ndarray:
     """Cross-view depth consistency (one direction): the SURVEY §2 term.
 
@@ -281,7 +282,7 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
     disp_num = out["disparity"] * wsum  # recover accumulated disparity mass
     rendered_disp = divide_safe(disp_num, wsum, eps=1e-30)
     mask = (wsum > 1e-30).astype(jnp.float32)
-    if disocc_only:
+    if disocc_only or visible_only:
         import jax
 
         from lsi_tpu.evaluation.occlusion import disocclusion_mask
@@ -291,7 +292,12 @@ def depth_consistency(ldi_src: LDI, ldi_trg: LDI,
             zbuffer_scale=render_cfg.zbuffer_scale,
             use_pallas=render_cfg.use_pallas,
             pallas_max_dy=render_cfg.pallas_max_dy)
-        mask = mask * jax.lax.stop_gradient(disocc)
+        disocc = jax.lax.stop_gradient(disocc)
+        # visible_only is the complement: pixels layer-0 DOES cover — the
+        # anchor term's support (r3c: cons_sym anchors layer-0 against
+        # drift; restricting it off the disocclusions keeps it from
+        # negotiating hidden-surface geometry the pseudo-label term owns).
+        mask = mask * (disocc if disocc_only else (1.0 - disocc))
     target = ldi_trg.disparities[:, 0]
     if stop_target:
         import jax
@@ -402,6 +408,17 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
                                     render_cfg, **kw))
         parts["depth_consistency"] = loss_cfg.consistency_weight * cons
         total = total + parts["depth_consistency"]
+    if loss_cfg.consistency_anchor_weight > 0:
+        # Visible-support negotiated anchor (see LossConfig) — masked to
+        # the complement of the pseudo-label term's disocclusion support.
+        akw = dict(visible_only=True)
+        anchor = (depth_consistency(ldi_src, ldi_trg, pose_src2trg,
+                                    render_cfg, **akw)
+                  + depth_consistency(ldi_trg, ldi_src, pose_trg2src,
+                                      render_cfg, **akw))
+        parts["depth_anchor"] = (
+            loss_cfg.consistency_anchor_weight * anchor)
+        total = total + parts["depth_anchor"]
     parts["total"] = total
     return parts
 

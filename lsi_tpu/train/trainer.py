@@ -109,7 +109,9 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
     """
     model = build_model(cfg.model)
     two_preds = (cfg.model.family != "mpi"
-                 and (cfg.loss.consistency_weight > 0 or cfg.loss.symmetric))
+                 and (cfg.loss.consistency_weight > 0
+                      or cfg.loss.consistency_anchor_weight > 0
+                      or cfg.loss.symmetric))
 
     def apply_model(params, image, intrinsics):
         fn = lambda p, im, K: model.apply({"params": p}, im, K)

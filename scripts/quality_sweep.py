@@ -85,6 +85,19 @@ VARIANTS = {
                          "loss.consistency_disocc_only": True,
                          "loss.consistency_start_step": 500,
                          "loss.consistency_deep_only": True},
+    # r3d: disjoint-support composition — negotiated anchor on VISIBLE
+    # pixels (cons_sym's layer-0 fix) + stop-target deep-only pseudo-label
+    # on DISOCCLUDED pixels (sym_occ_deep's hidden-geometry fix).
+    "anchor_occ": {"loss.symmetric": True,
+                   "loss.consistency_anchor_weight": 0.5,
+                   "loss.consistency_weight": 0.5,
+                   "loss.consistency_stop_target": True,
+                   "loss.consistency_disocc_only": True,
+                   "loss.consistency_start_step": 500,
+                   "loss.consistency_deep_only": True},
+    # ablation: the visible-support anchor alone.
+    "anchor_only": {"loss.symmetric": True,
+                    "loss.consistency_anchor_weight": 0.5},
     # stop-gradient pseudo-label: the other prediction anchors, does not
     # negotiate.
     "cons_sg": {"loss.consistency_weight": 0.5,

@@ -333,6 +333,62 @@ def test_depth_consistency_deep_only_blocks_layer0_grad(rng):
     assert float(jnp.max(jnp.abs(gs[:, 1]))) > 0
 
 
+def test_depth_consistency_visible_only_complements_disocc(rng):
+    """visible_only + disocc_only partition the rendered support: on the
+    real-disocclusion scene their masked errors are disjoint, and the
+    visible term sees the covered pixels (0.2-vs-0.2 background plus the
+    0.5-vs-0.2 foreground disagreement -> positive)."""
+    h, w = 16, 32
+    d0 = np.full((h, w, 1), 0.2, np.float32)
+    d0[:, 10:16] = 0.5
+    d1 = np.full((h, w, 1), 0.2, np.float32)
+    disp = np.stack([d0, d1], 0)[None]
+    tex = rng.uniform(size=(1, 2, h, w, 3)).astype(np.float32)
+    ldi_src = LDI(textures=jnp.asarray(tex), disparities=jnp.asarray(disp),
+                  intrinsics=jnp.asarray(make_K(w, h)[None]))
+    ldi_trg = flat_ldi(rng, h=h, w=w, l=2, d=0.2)
+    pose = transforms.translation_pose(np.array([[-0.5, 0, 0]], np.float32))
+    vis = depth_consistency(ldi_src, ldi_trg, pose, RenderConfig(),
+                            visible_only=True)
+    occ = depth_consistency(ldi_src, ldi_trg, pose, RenderConfig(),
+                            stop_target=True, disocc_only=True)
+    # visible support contains the foreground strip (0.5 vs label 0.2)
+    assert float(vis) > 0.02
+    # disocclusion support contains only agreeing background -> ~0
+    assert float(occ) < 2e-3
+
+
+def test_anchor_term_assembles_and_respects_warmup(tmp_path):
+    """consistency_anchor_weight: depth_anchor is in the parts and stays
+    active during the pseudo-label warm-up window."""
+    import json
+
+    from lsi_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True,
+                    consistency_anchor_weight=0.5,
+                    consistency_stop_target=True,
+                    consistency_disocc_only=True,
+                    consistency_deep_only=True,
+                    consistency_start_step=2)
+    cfg = cfg.replace(train=TrainConfig(
+        max_steps=4, warmup_steps=1, log_every=1, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path / "ckpt")))
+    _, metrics = Trainer(cfg).train()
+    assert np.isfinite(metrics["total"])
+    recs = {}
+    with open(tmp_path / "ckpt" / "train.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "total" in rec:
+                recs[rec["step"]] = rec
+    # anchor active in BOTH phases; pseudo-label term only after the switch
+    assert "depth_anchor" in recs[2]
+    assert "depth_consistency" not in recs[2]
+    assert "depth_anchor" in recs[4]
+    assert "depth_consistency" in recs[4]
+
+
 def test_trainer_consistency_warmup_switches(tmp_path):
     """consistency_start_step: the term is absent from the jsonl before the
     switch step and present after (two compiled steps, staged-training
