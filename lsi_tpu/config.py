@@ -224,6 +224,11 @@ PRESETS = {
                         batch_size=16),
     ),
     # 4: high-res 512x1536 inference + forward-splat render, batch 64.
+    # batch_size is GLOBAL (sharded over the mesh data axis): b64
+    # INFERENCE fits one chip (49.7 fps, BASELINE.md), but the b64
+    # remat TRAINING step needs a measured 30.67 GB HBM program vs the
+    # 16 GB chip (scripts/bench_highres_b64.py, r3) — train this preset
+    # on a >=2-chip slice (b8/chip x 8 measured at 1.6 steps/s/chip).
     "highres_b64": _cfg(
         model=ModelConfig(num_layers=2),
         render=RenderConfig(splat_method="scatter"),
