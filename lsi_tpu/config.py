@@ -241,11 +241,23 @@ PRESETS = {
     #    slanted background, SE(3) pose jitter incl. rotation; 3-layer LDI
     #    with predicted textures (the setting that actually exercises layer
     #    specialization and disocclusion inpainting).
+    #    Loss recipe = the r3 quality-sweep winner `anchor_occ`
+    #    (BASELINE.md r3 experiments; 20 arms): symmetric photometric +
+    #    disjoint-support consistency — negotiated anchor on visible
+    #    pixels (layer-0 anti-drift) + stop-target deep-only pseudo-label
+    #    on disoccluded pixels (hidden-surface geometry), warm-up 500.
     "synthetic_multi": _cfg(
         model=ModelConfig(num_layers=3, base_filters=16, num_scales=4,
                           layer0_texture_from_input=False),
         render=RenderConfig(zbuffer_scale=30.0, pallas_max_dy=8),
-        loss=LossConfig(photo_mode="both", smoothness_weight=0.01),
+        loss=LossConfig(photo_mode="both", smoothness_weight=0.01,
+                        symmetric=True,
+                        consistency_anchor_weight=0.5,
+                        consistency_weight=0.5,
+                        consistency_stop_target=True,
+                        consistency_disocc_only=True,
+                        consistency_deep_only=True,
+                        consistency_start_step=500),
         data=DataConfig(dataset="synthetic", synthetic_scene="multi",
                         height=128, width=256, batch_size=8),
         train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
