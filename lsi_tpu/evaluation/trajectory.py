@@ -15,6 +15,8 @@ dispatch + device->host read costs ~10-20 ms of tunnel RTT per sweep
 
 from __future__ import annotations
 
+import atexit
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
 import jax
@@ -23,6 +25,27 @@ import jax.numpy as jnp
 from lsi_tpu.config import RenderConfig
 from lsi_tpu.geometry.ldi import LDI, render_forward
 from lsi_tpu.geometry.transforms import camera_trajectory, pose_from_euler
+
+# The dy-window warning needs the `dropped` scalar on the host, but a
+# synchronous pull would serialize back-to-back sweeps: each call blocks a
+# full tunnel RTT (~10-20 ms, docs/perf.md §5) before the next can
+# dispatch, which measured as the residual 207-209 vs 227 views/s on
+# BASELINE cfg-5. The diagnostic instead rides a single worker thread —
+# np.asarray blocks THERE while the main thread keeps dispatching — and is
+# guaranteed delivered by flush_window_warnings() (atexit-registered, and
+# callable for deterministic tests).
+_WARN_POOL = ThreadPoolExecutor(max_workers=1)
+_PENDING_WARNS: list = []
+
+
+def flush_window_warnings() -> None:
+    """Block until every pending async dy-window check has been pulled to
+    the host and (if triggered) warned."""
+    while _PENDING_WARNS:
+        _PENDING_WARNS.pop(0).result()
+
+
+atexit.register(flush_window_warnings)
 
 
 def _one_render(ldi: LDI, pose, render_cfg: RenderConfig, check: bool):
@@ -115,5 +138,12 @@ def render_trajectory(ldi: LDI, num_views: int = 60,
                                         check_each=True)
     if render_cfg.window_check:
         from lsi_tpu.geometry.ldi import warn_window_drop
-        warn_window_drop(dropped, render_cfg.pallas_max_dy)
+
+        # Drop completed checks from the queue without blocking, then
+        # enqueue this sweep's — consecutive sweeps pipeline on-device.
+        while _PENDING_WARNS and _PENDING_WARNS[0].done():
+            _PENDING_WARNS.pop(0).result()
+        _PENDING_WARNS.append(
+            _WARN_POOL.submit(warn_window_drop, dropped,
+                              render_cfg.pallas_max_dy))
     return frames

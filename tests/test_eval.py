@@ -122,11 +122,16 @@ def test_trajectory_fused_window_check_warns(rng):
         [[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
          [0, 0, 1]], np.float32)[None])
     ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+    from lsi_tpu.evaluation.trajectory import flush_window_warnings
+
     cfg = RenderConfig(use_pallas="off", pallas_max_dy=1)
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         frames = render_trajectory(ldi, 6, max_translation=(0.0, -0.5, 0.0),
                                    render_cfg=cfg)
+        # the check is asynchronous (sweeps pipeline; docstring): flush
+        # inside the catch_warnings window for a deterministic assert
+        flush_window_warnings()
         assert any("dy-window" in str(r.message) for r in rec)
     assert frames.shape == (6, 1, h, w, 3)
     # an in-window sweep stays silent
@@ -134,4 +139,5 @@ def test_trajectory_fused_window_check_warns(rng):
         warnings.simplefilter("always")
         render_trajectory(ldi, 6, max_translation=(0.1, 0.0, 0.0),
                           render_cfg=cfg)
+        flush_window_warnings()
         assert not any("dy-window" in str(r.message) for r in rec)
