@@ -42,8 +42,12 @@ def test_multi_object_generalization(tmp_path):
 
     # Quality regression bounds — intentionally loose versions of the
     # 5k-step BASELINE.md numbers (this runs 1k steps at half resolution).
+    # The r3 winner recipe sums ~2x the parts of the r2 loss (symmetric
+    # photometric doubles the photo terms; two consistency terms ride on
+    # top), so the total-loss bound is scaled accordingly (sweep arms at
+    # 1k steps, full res: total ~= 0.10).
     assert np.isfinite(metrics["total"])
-    assert metrics["total"] < 0.06, metrics
+    assert metrics["total"] < 0.14, metrics
     assert metrics["eval_psnr"] > 21.0, metrics
     assert metrics["eval_abs_rel"] < 0.45, metrics
     assert metrics["eval_coverage"] > 0.95, metrics
