@@ -9,9 +9,14 @@ from lsi_tpu.train.__main__ import apply_override, parse_args
 
 def test_presets_exist():
     assert set(PRESETS) == {"kitti_ldi2", "synthia_ldi2_splat",
-                            "kitti_ldi3_b16", "highres_b64",
-                            "trajectory_sweep", "synthetic_sanity",
-                            "mpi_baseline", "synthetic_multi"}
+                            "kitti_ldi3_b16", "kitti_ldi3_quality",
+                            "highres_b64", "trajectory_sweep",
+                            "synthetic_sanity", "mpi_baseline",
+                            "synthetic_multi"}
+    # the r3 quality preset ships the anchor_occ winner recipe
+    q = get_config("kitti_ldi3_quality")
+    assert q.loss.symmetric and q.loss.consistency_anchor_weight > 0
+    assert q.loss.consistency_deep_only and q.loss.consistency_disocc_only
     assert get_config("mpi_baseline").model.family == "mpi"
     assert get_config("synthetic_multi").data.synthetic_scene == "multi"
     cfg = get_config("kitti_ldi3_b16")
