@@ -110,6 +110,26 @@ class LossConfig:
                                       # pixels: layer-0's splat footprint and
                                       # soft-z weight leak into every target
                                       # pixel's normalization.
+    consistency_ema_teacher: bool = False  # consistency/anchor targets come
+                                      # from an EMA (mean-teacher) copy of
+                                      # the params instead of the live
+                                      # second prediction. The r3 10k run
+                                      # measured live-target collusion the
+                                      # 2.5k sweeps could not see: both
+                                      # predictions come from ONE network,
+                                      # so coherent drift satisfies any
+                                      # mutual-agreement term — abs_rel
+                                      # slid 0.18 -> 0.36 after step 5k at
+                                      # flat PSNR. A teacher averaged over
+                                      # the last ~1/(1-decay) steps cannot
+                                      # follow the slide, so the terms pull
+                                      # the student back instead.
+    consistency_ema_decay: float = 0.999  # teacher horizon ~1000 steps: the
+                                      # measured slide is ~4e-5 abs_rel per
+                                      # step, so a short-horizon teacher
+                                      # trails close enough to follow it;
+                                      # ~1000 steps both resists the slide
+                                      # and tracks genuine improvement.
     consistency_start_step: int = 0   # >0: enable the consistency term only
                                       # from this step on (a second compiled
                                       # step, same mechanism as staged

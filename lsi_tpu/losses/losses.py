@@ -364,7 +364,9 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
                              loss_cfg: LossConfig,
                              render_cfg: RenderConfig,
                              gt_disparity=None,
-                             gt_valid=None) -> Dict[str, jnp.ndarray]:
+                             gt_valid=None,
+                             ldi_src_teacher=None,
+                             ldi_trg_teacher=None) -> Dict[str, jnp.ndarray]:
     """Two-prediction training loss: photometric + cross-view consistency.
 
     Used when ``loss_cfg.consistency_weight > 0`` or ``loss_cfg.symmetric``
@@ -379,6 +381,12 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
       * with ``consistency_weight``: :func:`depth_consistency` in BOTH
         directions (src rendered into trg vs trg layer-0, and vice versa).
 
+    With ``ldi_src_teacher``/``ldi_trg_teacher`` (EMA mean-teacher
+    predictions, constant w.r.t. the differentiated params), the
+    consistency/anchor TARGETS come from the teacher instead of the live
+    second prediction — see ``LossConfig.consistency_ema_teacher``. The
+    rendered (student) side and the photometric losses are unaffected.
+
     Diagnostics ride along un-summed, as in :func:`total_loss`.
     """
     from lsi_tpu.geometry.transforms import invert_pose
@@ -388,6 +396,8 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
                        gt_valid=gt_valid)
     total = parts.pop("total")
     pose_trg2src = invert_pose(pose_src2trg)
+    trg_label = ldi_trg_teacher if ldi_trg_teacher is not None else ldi_trg
+    src_label = ldi_src_teacher if ldi_src_teacher is not None else ldi_src
     if loss_cfg.symmetric:
         rev = total_loss(ldi_trg, src_image, pose_trg2src, loss_cfg,
                          render_cfg)
@@ -402,9 +412,9 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
         kw = dict(stop_target=loss_cfg.consistency_stop_target,
                   disocc_only=loss_cfg.consistency_disocc_only,
                   deep_only=loss_cfg.consistency_deep_only)
-        cons = (depth_consistency(ldi_src, ldi_trg, pose_src2trg,
+        cons = (depth_consistency(ldi_src, trg_label, pose_src2trg,
                                   render_cfg, **kw)
-                + depth_consistency(ldi_trg, ldi_src, pose_trg2src,
+                + depth_consistency(ldi_trg, src_label, pose_trg2src,
                                     render_cfg, **kw))
         parts["depth_consistency"] = loss_cfg.consistency_weight * cons
         total = total + parts["depth_consistency"]
@@ -412,9 +422,9 @@ def total_loss_bidirectional(ldi_src: LDI, ldi_trg: LDI,
         # Visible-support negotiated anchor (see LossConfig) — masked to
         # the complement of the pseudo-label term's disocclusion support.
         akw = dict(visible_only=True)
-        anchor = (depth_consistency(ldi_src, ldi_trg, pose_src2trg,
+        anchor = (depth_consistency(ldi_src, trg_label, pose_src2trg,
                                     render_cfg, **akw)
-                  + depth_consistency(ldi_trg, ldi_src, pose_trg2src,
+                  + depth_consistency(ldi_trg, src_label, pose_trg2src,
                                       render_cfg, **akw))
         parts["depth_anchor"] = (
             loss_cfg.consistency_anchor_weight * anchor)

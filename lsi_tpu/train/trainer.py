@@ -51,7 +51,14 @@ from lsi_tpu.train.metrics import MetricWriter
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState (params + optax state + step)."""
+    """flax TrainState (params + optax state + step).
+
+    ``ema_params`` (mean-teacher; ``loss.consistency_ema_teacher``) is an
+    exponential moving average of ``params`` updated every step; it is the
+    frozen reference the consistency terms target. ``None`` when the
+    teacher is disabled (no memory cost).
+    """
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -83,8 +90,10 @@ def create_state(cfg: Config, rng) -> TrainState:
     dummy_img = jnp.zeros((1, h, w, 3), jnp.float32)
     dummy_k = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
     params = model.init(rng, dummy_img, dummy_k)["params"]
+    ema = (jax.tree_util.tree_map(jnp.copy, params)
+           if cfg.loss.consistency_ema_teacher else None)
     return TrainState.create(apply_fn=model.apply, params=params,
-                             tx=make_optimizer(cfg))
+                             ema_params=ema, tx=make_optimizer(cfg))
 
 
 def _truncate_ldi(ldi, num_layers: int):
@@ -119,7 +128,12 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
             fn = jax.checkpoint(fn)
         return fn(params, image, intrinsics)
 
-    def loss_fn(params, batch: Batch):
+    use_teacher = (two_preds and cfg.loss.consistency_ema_teacher
+                   and not stage_layer0
+                   and (cfg.loss.consistency_weight > 0
+                        or cfg.loss.consistency_anchor_weight > 0))
+
+    def loss_fn(params, ema_params, batch: Batch):
         from lsi_tpu.data.pipeline import decode_batch
         batch = decode_batch(batch)  # storage dtypes -> f32, on device
         pred = apply_model(params, batch.src_image, batch.intrinsics)
@@ -133,10 +147,20 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
         elif two_preds and not stage_layer0:
             from lsi_tpu.losses.losses import total_loss_bidirectional
             pred_trg = apply_model(params, batch.trg_image, batch.intrinsics)
+            teachers = {}
+            if use_teacher:
+                # Mean-teacher targets: constant w.r.t. the differentiated
+                # params (loss_fn is only differentiated in argnum 0).
+                teachers = dict(
+                    ldi_src_teacher=apply_model(
+                        ema_params, batch.src_image, batch.intrinsics),
+                    ldi_trg_teacher=apply_model(
+                        ema_params, batch.trg_image, batch.intrinsics))
             parts = total_loss_bidirectional(
                 pred, pred_trg, batch.src_image, batch.trg_image,
                 batch.pose_src2trg, cfg.loss, cfg.render,
-                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid)
+                gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid,
+                **teachers)
         else:
             if stage_layer0:
                 pred = _truncate_ldi(pred, 1)
@@ -148,8 +172,13 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
 
     def step_fn(state: TrainState, batch: Batch):
         (_, parts), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
+            loss_fn, has_aux=True)(state.params, state.ema_params, batch)
         new_state = state.apply_gradients(grads=grads)
+        if state.ema_params is not None:
+            d = cfg.loss.consistency_ema_decay
+            new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state.ema_params, new_state.params))
         metrics = dict(parts)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
@@ -194,10 +223,20 @@ class Trainer:
         # term is dropped via a second compiled step (the from-step-0
         # sweep arms paid ~2 dB PSNR; BASELINE.md r3 experiments).
         self._cons_warmup_step_fn = None
-        if (self.config.loss.consistency_weight > 0
-                and self.config.loss.consistency_start_step > 0):
-            warm_cfg = self.config.replace(loss=dataclasses.replace(
-                self.config.loss, consistency_weight=0.0))
+        lcfg = self.config.loss
+        if ((lcfg.consistency_weight > 0
+             or (lcfg.consistency_ema_teacher
+                 and lcfg.consistency_anchor_weight > 0))
+                and lcfg.consistency_start_step > 0):
+            # Live mode keeps the negotiated anchor on through the warm-up
+            # (measured fine from step 0); teacher mode gates BOTH terms —
+            # an EMA of a half-trained net makes equally poor anchor and
+            # pseudo-label targets.
+            warm_loss = dataclasses.replace(lcfg, consistency_weight=0.0)
+            if lcfg.consistency_ema_teacher:
+                warm_loss = dataclasses.replace(
+                    warm_loss, consistency_anchor_weight=0.0)
+            warm_cfg = self.config.replace(loss=warm_loss)
             self._cons_warmup_step_fn = make_train_step(warm_cfg, self.plan)
         self._eval_step = None
         self._eval_iter = None

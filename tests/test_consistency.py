@@ -389,6 +389,73 @@ def test_anchor_term_assembles_and_respects_warmup(tmp_path):
     assert "depth_consistency" in recs[4]
 
 
+def test_ema_teacher_state_and_update(rng):
+    """Teacher mode: ema_params exist, follow the e*d + p*(1-d) update, and
+    the step trains (finite loss, nonzero grad)."""
+    from lsi_tpu.data.pipeline import make_dataset
+    from lsi_tpu.train.trainer import create_state, make_train_step
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True,
+                    consistency_anchor_weight=0.5,
+                    consistency_ema_teacher=True,
+                    consistency_ema_decay=0.9)
+    state = create_state(cfg, jax.random.key(0))
+    assert state.ema_params is not None
+    # EMA starts as a copy of params
+    # snapshot to host before the step: the train state is DONATED
+    l0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    e0 = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    np.testing.assert_array_equal(l0, e0)
+
+    step = make_train_step(cfg)
+    batch = next(make_dataset(cfg.data, seed=0))
+    state1, m = step(state, batch)
+    assert np.isfinite(float(m["total"]))
+    assert "depth_anchor" in m and "depth_consistency" in m
+    # manual EMA of the first leaf matches
+    p1 = np.asarray(jax.tree_util.tree_leaves(state1.params)[0])
+    e1 = np.asarray(jax.tree_util.tree_leaves(state1.ema_params)[0])
+    np.testing.assert_allclose(e1, e0 * 0.9 + p1 * 0.1,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_ema_teacher_disabled_keeps_state_lean(rng):
+    from lsi_tpu.train.trainer import create_state
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True)
+    assert create_state(cfg, jax.random.key(0)).ema_params is None
+
+
+def test_trainer_teacher_warmup_gates_both_terms(tmp_path):
+    """Teacher mode + start_step: NEITHER consistency term appears before
+    the switch (an immature teacher is a poor target for both), both after,
+    and the run trains end-to-end through the Trainer."""
+    import json
+
+    from lsi_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True,
+                    consistency_anchor_weight=0.5,
+                    consistency_ema_teacher=True,
+                    consistency_start_step=2)
+    cfg = cfg.replace(train=TrainConfig(
+        max_steps=4, warmup_steps=1, log_every=1, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path / "ckpt")))
+    _, metrics = Trainer(cfg).train()
+    assert np.isfinite(metrics["total"])
+    recs = {}
+    with open(tmp_path / "ckpt" / "train.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "total" in rec:
+                recs[rec["step"]] = rec
+    assert "depth_consistency" not in recs[2]
+    assert "depth_anchor" not in recs[2]
+    assert "photo_splat_rev" in recs[2]
+    assert "depth_consistency" in recs[4]
+    assert "depth_anchor" in recs[4]
+
+
 def test_trainer_consistency_warmup_switches(tmp_path):
     """consistency_start_step: the term is absent from the jsonl before the
     switch step and present after (two compiled steps, staged-training
