@@ -128,6 +128,28 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
             fn = jax.checkpoint(fn)
         return fn(params, image, intrinsics)
 
+    def apply_model_pair(params, image_a, image_b, intrinsics):
+        """One fused forward over both views (src and trg stacked on batch).
+
+        The UNet is per-sample (convs + GroupNorm normalize within each
+        sample), so stacking is math-identical to two calls — but it halves
+        the dispatch count and doubles the matmul batch the MXU sees, which
+        matters at the small per-view batches the two-prediction recipes
+        train with.
+        """
+        b = image_a.shape[0]
+        both = apply_model(params,
+                           jnp.concatenate([image_a, image_b], axis=0),
+                           jnp.concatenate([intrinsics, intrinsics], axis=0))
+        split = lambda x: (x[:b], x[b:])
+        ta, tb = split(both.textures)
+        da, db = split(both.disparities)
+        ka, kb = split(both.intrinsics)
+        return (dataclasses.replace(both, textures=ta, disparities=da,
+                                    intrinsics=ka),
+                dataclasses.replace(both, textures=tb, disparities=db,
+                                    intrinsics=kb))
+
     use_teacher = (two_preds and cfg.loss.consistency_ema_teacher
                    and not stage_layer0
                    and (cfg.loss.consistency_weight > 0
@@ -136,8 +158,8 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
     def loss_fn(params, ema_params, batch: Batch):
         from lsi_tpu.data.pipeline import decode_batch
         batch = decode_batch(batch)  # storage dtypes -> f32, on device
-        pred = apply_model(params, batch.src_image, batch.intrinsics)
         if cfg.model.family == "mpi":
+            pred = apply_model(params, batch.src_image, batch.intrinsics)
             from lsi_tpu.losses.losses import mpi_total_loss
             parts = mpi_total_loss(
                 pred, batch.src_image, batch.trg_image, batch.pose_src2trg,
@@ -146,22 +168,23 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
                 render_cfg=cfg.render)
         elif two_preds and not stage_layer0:
             from lsi_tpu.losses.losses import total_loss_bidirectional
-            pred_trg = apply_model(params, batch.trg_image, batch.intrinsics)
+            pred, pred_trg = apply_model_pair(
+                params, batch.src_image, batch.trg_image, batch.intrinsics)
             teachers = {}
             if use_teacher:
                 # Mean-teacher targets: constant w.r.t. the differentiated
                 # params (loss_fn is only differentiated in argnum 0).
-                teachers = dict(
-                    ldi_src_teacher=apply_model(
-                        ema_params, batch.src_image, batch.intrinsics),
-                    ldi_trg_teacher=apply_model(
-                        ema_params, batch.trg_image, batch.intrinsics))
+                t_src, t_trg = apply_model_pair(
+                    ema_params, batch.src_image, batch.trg_image,
+                    batch.intrinsics)
+                teachers = dict(ldi_src_teacher=t_src, ldi_trg_teacher=t_trg)
             parts = total_loss_bidirectional(
                 pred, pred_trg, batch.src_image, batch.trg_image,
                 batch.pose_src2trg, cfg.loss, cfg.render,
                 gt_disparity=batch.gt_disparity, gt_valid=batch.gt_valid,
                 **teachers)
         else:
+            pred = apply_model(params, batch.src_image, batch.intrinsics)
             if stage_layer0:
                 pred = _truncate_ldi(pred, 1)
             parts = total_loss(
