@@ -179,6 +179,38 @@ def _tiny_cfg(**loss_kw):
     )
 
 
+def test_fused_pair_forward_matches_two_applies(rng):
+    """The stacked (src+trg on batch) forward the two-prediction recipes use
+    is math-identical to two separate applies: the UNet is per-sample
+    (convs + GroupNorm normalize within each sample)."""
+    from lsi_tpu.data.pipeline import decode_batch, make_dataset
+    from lsi_tpu.train.trainer import build_model, create_state
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True)
+    state = create_state(cfg, jax.random.key(0))
+    model = build_model(cfg.model)
+    batch = decode_batch(next(make_dataset(cfg.data, seed=0)))
+
+    sep_src = model.apply({"params": state.params}, batch.src_image,
+                          batch.intrinsics)
+    sep_trg = model.apply({"params": state.params}, batch.trg_image,
+                          batch.intrinsics)
+    b = batch.src_image.shape[0]
+    both = model.apply(
+        {"params": state.params},
+        jnp.concatenate([batch.src_image, batch.trg_image], axis=0),
+        jnp.concatenate([batch.intrinsics, batch.intrinsics], axis=0))
+    np.testing.assert_allclose(np.asarray(both.disparities[:b]),
+                               np.asarray(sep_src.disparities),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(both.disparities[b:]),
+                               np.asarray(sep_trg.disparities),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(both.textures[:b]),
+                               np.asarray(sep_src.textures),
+                               rtol=2e-2, atol=2e-3)
+
+
 def test_train_step_with_consistency_and_symmetric(rng):
     from lsi_tpu.data.pipeline import make_dataset
     from lsi_tpu.train.trainer import create_state, make_train_step
