@@ -167,6 +167,14 @@ class TrainConfig:
     adam_b2: float = 0.999
     max_steps: int = 100_000
     warmup_steps: int = 500
+    decay_steps: int = 0             # cosine-decay horizon; 0 => max_steps.
+                                     # Must be pinned to the TRUE run length
+                                     # when a long run is split into segments
+                                     # (scripts/train_chunked.py does this
+                                     # automatically) — otherwise each
+                                     # segment would rebuild the schedule
+                                     # from its clamped max_steps and the LR
+                                     # would sawtooth across segments.
     grad_clip_norm: float = 10.0
     checkpoint_dir: str = "/tmp/lsi_tpu_ckpt"
     checkpoint_every: int = 2000

@@ -61,14 +61,23 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    schedule = optax.warmup_cosine_decay_schedule(
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    # The decay horizon is the TRUE run length, not the (possibly clamped)
+    # max_steps: segmented runs (scripts/train_chunked.py) clamp max_steps
+    # to each segment end, and rebuilding the cosine from that would make
+    # the LR sawtooth across segments.
+    horizon = cfg.train.decay_steps or cfg.train.max_steps
+    return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.train.learning_rate,
         warmup_steps=cfg.train.warmup_steps,
-        decay_steps=max(cfg.train.max_steps, cfg.train.warmup_steps + 1),
+        decay_steps=max(horizon, cfg.train.warmup_steps + 1),
         end_value=cfg.train.learning_rate * 0.1,
     )
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip_norm),
         optax.adam(schedule, b1=cfg.train.adam_b1, b2=cfg.train.adam_b2),

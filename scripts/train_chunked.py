@@ -44,6 +44,12 @@ def main(argv=None):
         sys.exit("train_chunked: pass train.checkpoint_dir=... via --set "
                  "(auto-resume is the chunking mechanism)")
 
+    # Pin the LR-decay horizon to the TRUE total: each segment clamps
+    # train.max_steps to its end, and the cosine schedule must not be
+    # rebuilt from that clamped value (the LR would sawtooth).
+    if not any(t.startswith("train.decay_steps=") for t in passthrough):
+        passthrough = passthrough + [f"train.decay_steps={total}"]
+
     start = 0
     while start < total:
         end = min(start + args.chunk_steps, total)

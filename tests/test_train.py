@@ -189,3 +189,26 @@ def test_nonfinite_update_skipped(rng):
     # ... and a clean step afterwards still trains
     state3, m3 = step(state2, good)
     assert np.isfinite(float(m3["total"]))
+
+
+def test_lr_schedule_stable_across_segments():
+    """Segmented runs (scripts/train_chunked.py) clamp train.max_steps to
+    each segment end; with train.decay_steps pinned to the true total the
+    cosine schedule must be identical in every segment (no LR sawtooth on
+    resume)."""
+    from lsi_tpu.train.trainer import make_lr_schedule
+
+    full = Config(train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
+                                    max_steps=8000))
+    seg1 = Config(train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
+                                    max_steps=2000, decay_steps=8000))
+    s_full, s_seg = make_lr_schedule(full), make_lr_schedule(seg1)
+    for step in [0, 50, 1000, 1999, 2000, 5000, 7999]:
+        np.testing.assert_allclose(s_seg(step), s_full(step), rtol=1e-6)
+    # And the regression the field exists to prevent: a clamped max_steps
+    # WITHOUT the pin produces a different (fully-decayed) LR at the
+    # segment boundary.
+    clamped = Config(train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
+                                       max_steps=2000))
+    assert abs(float(make_lr_schedule(clamped)(1999)) -
+               float(s_full(1999))) > 1e-5
