@@ -244,6 +244,35 @@ def run_train_bench(accel, h, w, layers, use_pallas, args):
     }))
 
 
+def probe_devices(timeout_s: float = 300.0):
+    """``jax.devices()`` guarded by a deadline; None if the backend is dead.
+
+    The axon tunnel can wedge server-side (docs/perf.md §11), after which
+    backend *initialization itself* (``jax.devices()``) hangs forever —
+    measured here: a wedged chip hung the harness before any benchmark op
+    ran. Both the init and a trivial round-trip op therefore run inside a
+    daemon thread (the hang sits in a C call and cannot be interrupted) so
+    the harness can fail loudly with an honest JSON error line instead of
+    hanging the driver. 300 s covers tunnel init + first compile
+    comfortably (a trivial op measures 20-40 s cold)."""
+    import threading
+
+    done = []
+
+    def _try():
+        devs = jax.devices()
+        d = devs[0]
+        if d.platform != "cpu":
+            x = jax.device_put(np.ones((8, 8), np.float32), d)
+            float(np.asarray(jnp.sum(x)))
+        done.append(devs)
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return done[0] if done else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -262,7 +291,17 @@ def main():
     args = ap.parse_args()
 
     h, w, layers = 256, 768, 2
-    accel = jax.devices()[0]
+    devs = probe_devices()
+    if devs is None:
+        log("accelerator unreachable within probe deadline "
+            "(wedged tunnel? see docs/perf.md §11) — failing fast")
+        print(json.dumps({
+            "metric": "frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": "accelerator unreachable (axon tunnel wedge; "
+                     "docs/perf.md §11)"}))
+        sys.exit(1)
+    accel = devs[0]
     on_accel = accel.platform != "cpu"
     iters = 5 if args.quick else 20
     # The Pallas splat is the production path on TPU (the XLA scatter runs
