@@ -13,6 +13,13 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
+# An explicit JAX_PLATFORMS env choice must win over a sitecustomize
+# backend force (see lsi_tpu/train/__main__.py).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+    jax.config.update("jax_platforms", _plat)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,11 +194,20 @@ def main(argv=None):
     for ov in args.set:
         cfg = apply_override(cfg, ov)
 
-    state = create_state(cfg, jax.random.key(0))
     mgr = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.max_to_keep)
-    state = mgr.restore(jax.device_get(state))
-    print(f"evaluating checkpoint step {int(state.step)}")
-    results = evaluate(cfg, state.params, args.num_batches,
+    # Raw (template-free) restore: eval needs only params + step, and a
+    # template built from THIS config would fail orbax's strict structure
+    # match against checkpoints whose train state carries extra fields
+    # (e.g. ema_params from a loss.consistency_ema_teacher run).
+    raw = mgr.restore_raw()
+    if raw is None:
+        print("no checkpoint found; evaluating fresh-initialized params")
+        params = create_state(cfg, jax.random.key(0)).params
+        step = 0
+    else:
+        params, step = raw["params"], int(raw["step"])
+    print(f"evaluating checkpoint step {step}")
+    results = evaluate(cfg, params, args.num_batches,
                        args.image_dir or None)
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")
@@ -207,7 +223,7 @@ def main(argv=None):
         batch = next(make_dataset(cfg.data, seed=1, repeat=True))
         model = LDIPredictor(cfg.model)
         ldi = jax.jit(lambda p, im, k: model.apply({"params": p}, im, k))(
-            state.params, batch.src_image[:1], batch.intrinsics[:1])
+            params, batch.src_image[:1], batch.intrinsics[:1])
         frames = render_trajectory(
             ldi, 60, max_translation=(0.15, 0.0, 0.0),
             max_rotation=(0.0, 0.0, 0.01), render_cfg=cfg.render)

@@ -13,6 +13,16 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
+
+# An explicit JAX_PLATFORMS env choice must win: runtime images may
+# force-register an accelerator backend from sitecustomize via jax.config,
+# which silently overrides the env var — breaking CPU-mesh runs of this
+# CLI (tests, scripts/train_chunked.py smokes, CI boxes without a chip).
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    import jax
+    jax.config.update("jax_platforms", _plat)
 
 from lsi_tpu.config import PRESETS, Config, get_config
 

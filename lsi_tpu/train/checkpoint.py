@@ -46,6 +46,21 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_raw(self, step: Optional[int] = None) -> Optional[dict]:
+        """Restore the saved tree with its OWN structure (plain dicts of
+        numpy arrays), no template. None if no checkpoint exists.
+
+        This is the right call for consumers that need only a slice of
+        the train state (eval wants ``params`` + ``step``): a structure
+        template from a differently-configured state would fail the
+        strict orbax match — e.g. a checkpoint trained with the EMA
+        teacher carries ``ema_params`` that a teacherless eval config's
+        template lacks."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from lsi_tpu.config import get_config, PRESETS
 from lsi_tpu.train.__main__ import apply_override, parse_args
@@ -99,3 +100,28 @@ def test_quality_sweep_summarize(tmp_path):
     # occ columns average the last 3 evals (summarizer rounds to 3 places)
     assert abs(r["occ_absrel_last"] - (3.5 + 3.2 + 3.0) / 3) < 1e-3
     assert abs(r["occ_psnr_last"] - (22.0 + 22.5 + 23.0) / 3) < 1e-2
+
+
+@pytest.mark.slow
+def test_cli_subprocess_honors_cpu_platform_env(tmp_path):
+    """The bare CLI (`python -m lsi_tpu.train`) must run on CPU when
+    JAX_PLATFORMS=cpu is set, even on images whose sitecustomize
+    force-registers an accelerator backend via jax.config (which silently
+    overrides the env var). Regression: before the re-assert in
+    train/__main__.py, CPU-env subprocess runs initialized the forced
+    backend instead — and hung forever when the chip was wedged."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "lsi_tpu.train",
+         "--config=synthetic_sanity", "--set",
+         "data.height=16", "data.width=32", "data.batch_size=1",
+         "train.max_steps=1", "train.warmup_steps=1", "train.log_every=1",
+         f"train.checkpoint_dir={tmp_path}", "train.checkpoint_every=1"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "done at step 1" in out.stdout

@@ -1,5 +1,6 @@
 """Train-step + overfit integration tests on the virtual 8-device mesh."""
 
+import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -212,3 +213,39 @@ def test_lr_schedule_stable_across_segments():
                                        max_steps=2000))
     assert abs(float(make_lr_schedule(clamped)(1999)) -
                float(s_full(1999))) > 1e-5
+
+
+def test_restore_raw_tolerates_extra_state_fields(tmp_path):
+    """Eval must be able to read a checkpoint whose train state carries
+    fields its own config would not create (e.g. ema_params from a
+    loss.consistency_ema_teacher run): CheckpointManager.restore_raw
+    restores the saved tree with its OWN structure, no template."""
+    from lsi_tpu.train.checkpoint import CheckpointManager
+
+    cfg = tiny_config()
+    cfg = cfg.replace(loss=dataclasses.replace(
+        cfg.loss, consistency_ema_teacher=True, consistency_weight=0.5,
+        consistency_stop_target=True, symmetric=True))
+    state = create_state(cfg, jax.random.key(0))
+    assert state.ema_params is not None
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=1)
+    mgr.save(3, jax.device_get(state))
+    mgr.wait()
+
+    raw = mgr.restore_raw()
+    assert raw is not None and mgr.latest_step() == 3
+    assert int(raw["step"]) == int(state.step)
+    assert "ema_params" in raw
+    for x, y in zip(jax.tree.leaves(raw["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # A teacherless template would fail the strict structure match — the
+    # exact failure restore_raw exists to avoid.
+    teacherless = create_state(tiny_config(), jax.random.key(1))
+    with pytest.raises(Exception):
+        mgr.restore(jax.device_get(teacherless))
+    mgr.close()
+
+    empty = CheckpointManager(str(tmp_path / "none"), max_to_keep=1)
+    assert empty.restore_raw() is None
+    empty.close()
