@@ -183,6 +183,14 @@ class TrainConfig:
     eval_every: int = 0              # >0: run a held-out eval every N steps
                                      # (metrics to jsonl + image grid dump).
     eval_batches: int = 4            # batches averaged per in-training eval.
+    drift_warn_threshold: float = 0.15  # in-training failure detection for
+                                     # the r3 finding that layer-0 depth can
+                                     # drift while PSNR stays flat: each eval
+                                     # logs eval_abs_rel_drift (= abs_rel
+                                     # above the run's best so far, tracked
+                                     # across chunked segments via the
+                                     # train.jsonl history) and warns when
+                                     # it exceeds this. 0 disables.
     seed: int = 0
     remat_decoder: bool = False      # jax.checkpoint on decoder (512x1536).
     profile_dir: str = ""            # non-empty => jax.profiler traces.

@@ -61,6 +61,29 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
+def _best_abs_rel_from_jsonl(path: str):
+    """Min eval_abs_rel recorded in a train.jsonl, or None.
+
+    Seeds the drift monitor after a process restart: a chunked run
+    (scripts/train_chunked.py) must compare against the best of the WHOLE
+    run, not of the current segment, or every segment would reset the
+    drift baseline."""
+    import json
+    best = None
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    v = json.loads(line).get("eval_abs_rel")
+                except json.JSONDecodeError:
+                    continue
+                if v is not None and (best is None or v < best):
+                    best = float(v)
+    except OSError:
+        return None
+    return best
+
+
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
     # The decay horizon is the TRUE run length, not the (possibly clamped)
     # max_steps: segmented runs (scripts/train_chunked.py) clamp max_steps
@@ -272,6 +295,34 @@ class Trainer:
             self._cons_warmup_step_fn = make_train_step(warm_cfg, self.plan)
         self._eval_step = None
         self._eval_iter = None
+        self._best_eval_abs_rel = None
+
+    def _update_drift(self, out: Dict[str, float]) -> None:
+        """Failure detection for geometry drift (the r3 finding: layer-0
+        abs_rel can degrade while PSNR stays flat — BASELINE.md 10k table).
+        Adds ``eval_abs_rel_drift`` = abs_rel above the run's best so far
+        and warns past ``train.drift_warn_threshold``. The best is seeded
+        from the checkpoint dir's train.jsonl so it survives the process
+        recycling of chunked runs (scripts/train_chunked.py)."""
+        thr = self.config.train.drift_warn_threshold
+        if thr <= 0 or "eval_abs_rel" not in out:
+            return
+        if self._best_eval_abs_rel is None:
+            path = os.path.join(self.config.train.checkpoint_dir,
+                                "train.jsonl")
+            self._best_eval_abs_rel = _best_abs_rel_from_jsonl(path)
+        cur = float(out["eval_abs_rel"])
+        best = self._best_eval_abs_rel
+        drift = 0.0 if best is None else max(0.0, cur - best)
+        out["eval_abs_rel_drift"] = drift
+        if best is None or cur < best:
+            self._best_eval_abs_rel = cur
+        if drift > thr:
+            print(f"[drift] eval_abs_rel {cur:.3f} exceeds the run's best "
+                  f"{best:.3f} by {drift:.3f} (> {thr}): view synthesis is "
+                  f"likely being bought with geometry drift — consider "
+                  f"loss.consistency_ema_teacher / earlier stopping",
+                  flush=True)
 
     def _run_eval(self, state, step: int) -> Dict[str, float]:
         """In-training held-out eval: metrics to the jsonl (eval_ prefix) +
@@ -300,6 +351,7 @@ class Trainer:
         img_dir = os.path.join(cfg.train.checkpoint_dir, "eval_images",
                                f"step_{step:08d}")
         export_image_grid(*grid_args, img_dir)
+        self._update_drift(out)
         self.writer.write(step, out)
         return out
 

@@ -1,5 +1,6 @@
 """Trainer class end-to-end: loop, metrics, checkpoint, auto-resume."""
 
+import dataclasses
 import glob
 import json
 import os
@@ -126,3 +127,51 @@ def test_in_training_eval_and_image_dumps(tmp_path):
     for s in (3, 6):
         grid = ckpt / "eval_images" / f"step_{s:08d}" / "eval_grid.png"
         assert grid.exists(), grid
+
+
+def test_drift_monitor(tmp_path, capsys):
+    """The in-training drift monitor (r3 finding: layer-0 abs_rel can
+    degrade at flat PSNR) logs eval_abs_rel_drift vs the run's best and
+    warns past train.drift_warn_threshold; the best is seeded from
+    train.jsonl so chunked-run restarts keep the whole-run baseline."""
+    import json
+
+    from lsi_tpu.config import Config, DataConfig, TrainConfig
+    from lsi_tpu.train.trainer import Trainer, _best_abs_rel_from_jsonl
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    with open(ckpt / "train.jsonl", "w") as f:
+        f.write(json.dumps({"step": 100, "eval_abs_rel": 0.30}) + "\n")
+        f.write(json.dumps({"step": 200, "eval_abs_rel": 0.20}) + "\n")
+        f.write("not json\n")
+    assert _best_abs_rel_from_jsonl(str(ckpt / "train.jsonl")) == 0.20
+    assert _best_abs_rel_from_jsonl(str(ckpt / "missing.jsonl")) is None
+
+    cfg = Config(
+        data=DataConfig(dataset="synthetic", height=16, width=32,
+                        batch_size=8),
+        train=TrainConfig(checkpoint_dir=str(ckpt),
+                          drift_warn_threshold=0.15))
+    t = Trainer(cfg)
+
+    out = {"eval_abs_rel": 0.18, "eval_psnr": 25.0}
+    t._update_drift(out)          # new best (prior-segment best was 0.20)
+    assert out["eval_abs_rel_drift"] == 0.0
+
+    out = {"eval_abs_rel": 0.25}
+    t._update_drift(out)          # above best, below threshold: no warn
+    assert abs(out["eval_abs_rel_drift"] - 0.07) < 1e-9
+    capsys.readouterr()
+
+    out = {"eval_abs_rel": 0.40}
+    t._update_drift(out)          # 0.22 over best: warn
+    assert abs(out["eval_abs_rel_drift"] - 0.22) < 1e-9
+    assert "[drift]" in capsys.readouterr().out
+
+    # Disabled monitor adds nothing.
+    t2 = Trainer(cfg.replace(train=dataclasses.replace(
+        cfg.train, drift_warn_threshold=0.0)))
+    out = {"eval_abs_rel": 9.9}
+    t2._update_drift(out)
+    assert "eval_abs_rel_drift" not in out
