@@ -230,7 +230,18 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
             loss_fn, has_aux=True)(state.params, state.ema_params, batch)
         new_state = state.apply_gradients(grads=grads)
         if state.ema_params is not None:
-            d = cfg.loss.consistency_ema_decay
+            # Mean-teacher decay ramp (Tarvainen & Valpola, NeurIPS'17):
+            # d_t = min(d_cfg, (t+1)/(t+10)). A FIXED long-horizon EMA
+            # initialized at the random init params makes the consistency
+            # targets near-init garbage for the first ~horizon steps —
+            # measured on the toy drift testbed (BASELINE.md r3): the
+            # fixed-decay teacher arm degraded to abs_rel 0.71 while the
+            # no-teacher control sat at 0.34. The ramp keeps the teacher
+            # tracking the student closely early and only lengthens the
+            # averaging horizon once the student is trained.
+            d_cfg = cfg.loss.consistency_ema_decay
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(d_cfg, (t + 1.0) / (t + 10.0))
             new_state = new_state.replace(ema_params=jax.tree_util.tree_map(
                 lambda e, p: e * d + p * (1.0 - d),
                 state.ema_params, new_state.params))

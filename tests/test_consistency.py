@@ -444,10 +444,21 @@ def test_ema_teacher_state_and_update(rng):
     state1, m = step(state, batch)
     assert np.isfinite(float(m["total"]))
     assert "depth_anchor" in m and "depth_consistency" in m
-    # manual EMA of the first leaf matches
+    # Manual EMA of the first leaf matches, including the mean-teacher
+    # decay ramp d_t = min(d_cfg, (t+1)/(t+10)): at t=0 the effective
+    # decay is 0.1 (teacher tracks the student closely early), not the
+    # configured 0.9.
     p1 = np.asarray(jax.tree_util.tree_leaves(state1.params)[0])
     e1 = np.asarray(jax.tree_util.tree_leaves(state1.ema_params)[0])
-    np.testing.assert_allclose(e1, e0 * 0.9 + p1 * 0.1,
+    d0 = min(0.9, 1.0 / 10.0)
+    np.testing.assert_allclose(e1, e0 * d0 + p1 * (1 - d0),
+                               rtol=1e-5, atol=1e-7)
+    # Second step: t=1 -> d = min(0.9, 2/11).
+    state2, _ = step(state1, next(make_dataset(cfg.data, seed=1)))
+    p2 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+    e2 = np.asarray(jax.tree_util.tree_leaves(state2.ema_params)[0])
+    d1 = min(0.9, 2.0 / 11.0)
+    np.testing.assert_allclose(e2, e1 * d1 + p2 * (1 - d1),
                                rtol=1e-5, atol=1e-7)
 
 
