@@ -167,6 +167,11 @@ class TrainConfig:
     adam_b2: float = 0.999
     max_steps: int = 100_000
     warmup_steps: int = 500
+    lr_end_factor: float = 0.1       # cosine end LR = learning_rate * this.
+                                     # Lower (e.g. 0.005) freezes late
+                                     # training — one candidate lever against
+                                     # the late depth drift (BASELINE.md toy
+                                     # testbed).
     decay_steps: int = 0             # cosine-decay horizon; 0 => max_steps.
                                      # Must be pinned to the TRUE run length
                                      # when a long run is split into segments

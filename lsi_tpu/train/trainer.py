@@ -95,7 +95,7 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
         peak_value=cfg.train.learning_rate,
         warmup_steps=cfg.train.warmup_steps,
         decay_steps=max(horizon, cfg.train.warmup_steps + 1),
-        end_value=cfg.train.learning_rate * 0.1,
+        end_value=cfg.train.learning_rate * cfg.train.lr_end_factor,
     )
 
 

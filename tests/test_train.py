@@ -249,3 +249,11 @@ def test_restore_raw_tolerates_extra_state_fields(tmp_path):
     empty = CheckpointManager(str(tmp_path / "none"), max_to_keep=1)
     assert empty.restore_raw() is None
     empty.close()
+
+
+def test_lr_end_factor():
+    from lsi_tpu.train.trainer import make_lr_schedule
+
+    cfg = Config(train=TrainConfig(learning_rate=4e-4, warmup_steps=10,
+                                   max_steps=1000, lr_end_factor=0.005))
+    assert abs(float(make_lr_schedule(cfg)(1000)) - 4e-4 * 0.005) < 1e-9
