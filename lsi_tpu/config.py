@@ -130,6 +130,17 @@ class LossConfig:
                                       # trails close enough to follow it;
                                       # ~1000 steps both resists the slide
                                       # and tracks genuine improvement.
+    consistency_stop_step: int = 0   # >0: DROP the disocc pseudo-label term
+                                     # (consistency_weight) after this step,
+                                     # keeping the anchor. The toy testbed
+                                     # (BASELINE.md r3) shows the pseudo-label
+                                     # both trains hidden-layer geometry (occ
+                                     # abs_rel 10 -> 0.06 vs anchor-only) AND
+                                     # drives the late layer-0 drift through
+                                     # the shared trunk (0.275->0.454 vs flat
+                                     # 0.24 without it) — a mid-training
+                                     # window takes the first without the
+                                     # second.
     consistency_start_step: int = 0   # >0: enable the consistency term only
                                       # from this step on (a second compiled
                                       # step, same mechanism as staged

@@ -304,6 +304,16 @@ class Trainer:
                     warm_loss, consistency_anchor_weight=0.0)
             warm_cfg = self.config.replace(loss=warm_loss)
             self._cons_warmup_step_fn = make_train_step(warm_cfg, self.plan)
+        # Consistency stop: the disocc pseudo-label both trains hidden-layer
+        # geometry and drives the late layer-0 drift through the shared
+        # trunk (toy testbed, BASELINE.md r3) — after
+        # ``loss.consistency_stop_step`` it is dropped (anchor kept) via a
+        # third compiled step, taking the boot without the drift.
+        self._cons_stop_step_fn = None
+        if lcfg.consistency_weight > 0 and lcfg.consistency_stop_step > 0:
+            stop_cfg = self.config.replace(loss=dataclasses.replace(
+                lcfg, consistency_weight=0.0))
+            self._cons_stop_step_fn = make_train_step(stop_cfg, self.plan)
         self._eval_step = None
         self._eval_iter = None
         self._best_eval_abs_rel = None
@@ -397,6 +407,9 @@ class Trainer:
                 elif (self._cons_warmup_step_fn is not None
                         and step < cfg.loss.consistency_start_step):
                     step_fn = self._cons_warmup_step_fn
+                elif (self._cons_stop_step_fn is not None
+                        and step >= cfg.loss.consistency_stop_step):
+                    step_fn = self._cons_stop_step_fn
                 else:
                     step_fn = self.step_fn
                 state, metrics = step_fn(state, batch)

@@ -525,3 +525,35 @@ def test_trainer_consistency_warmup_switches(tmp_path):
     assert "depth_consistency" not in recs[2]
     assert "photo_splat_rev" in recs[2]
     assert "depth_consistency" in recs[4]
+
+
+def test_trainer_consistency_stop_drops_pseudo_label(tmp_path):
+    """consistency_stop_step: after the stop the disocc pseudo-label term
+    (depth_consistency) disappears while the negotiated anchor
+    (depth_anchor) stays — the toy-testbed composite that takes the
+    hidden-layer boot without the late layer-0 drift (BASELINE.md r3)."""
+    import json
+
+    from lsi_tpu.train.trainer import Trainer
+
+    cfg = _tiny_cfg(consistency_weight=0.5, symmetric=True,
+                    consistency_anchor_weight=0.5,
+                    consistency_stop_step=3)
+    cfg = cfg.replace(train=TrainConfig(
+        max_steps=5, warmup_steps=1, log_every=1, checkpoint_every=1000,
+        checkpoint_dir=str(tmp_path / "ckpt")))
+    _, metrics = Trainer(cfg).train()
+    assert np.isfinite(metrics["total"])
+    recs = {}
+    with open(tmp_path / "ckpt" / "train.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "total" in rec:
+                recs[rec["step"]] = rec
+    # steps 1-3 run the full recipe (selection is by 0-indexed step;
+    # logged records are 1-indexed step+1)
+    assert "depth_consistency" in recs[3]
+    assert "depth_anchor" in recs[3]
+    # from step 4 on the pseudo-label is dropped, the anchor kept
+    assert "depth_consistency" not in recs[5]
+    assert "depth_anchor" in recs[5]
