@@ -130,6 +130,19 @@ class LossConfig:
                                       # trails close enough to follow it;
                                       # ~1000 steps both resists the slide
                                       # and tracks genuine improvement.
+    photo_layer0_weight: float = 0.0  # >0: an ADDITIONAL inverse-warp
+                                     # photometric term on the layer-0-only
+                                     # truncated LDI. Anti-drift mechanism
+                                     # (BASELINE.md r3 toy testbed): with
+                                     # min-over-layers, trained hidden
+                                     # layers can absorb layer-0's
+                                     # photometric job and let it drift —
+                                     # this term makes that offloading
+                                     # unprofitable (layer 0 must explain
+                                     # the visible scene by itself). Costs
+                                     # charbonnier error on the few % of
+                                     # pixels occluded in the other view
+                                     # (no deeper layer to forgive them).
     consistency_stop_step: int = 0   # >0: DROP the disocc pseudo-label term
                                      # (consistency_weight) after this step,
                                      # keeping the anchor. The toy testbed

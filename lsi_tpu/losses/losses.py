@@ -341,6 +341,17 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
             ssim_weight=loss_cfg.ssim_weight, return_diag=True)
         parts["photo_splat"] = loss_cfg.splat_weight * splat_loss
         diags.update(diag)
+    if loss_cfg.photo_layer0_weight > 0 and ldi.textures.shape[1] > 1:
+        # Anti-drift tether (see LossConfig.photo_layer0_weight): layer 0
+        # alone must explain the visible scene — min-over-layers cannot
+        # route its photometric job to the (trained) deeper layers.
+        layer0 = LDI(textures=ldi.textures[:, :1],
+                     disparities=ldi.disparities[:, :1],
+                     intrinsics=ldi.intrinsics)
+        l0_loss = view_synthesis_inverse_warp(
+            layer0, target_image, pose_src2trg, K_trg,
+            min_over_layers=False, render_cfg=render_cfg)
+        parts["photo_layer0"] = loss_cfg.photo_layer0_weight * l0_loss
     if loss_cfg.smoothness_weight > 0:
         parts["smoothness"] = (
             loss_cfg.smoothness_weight

@@ -256,3 +256,50 @@ def test_candidate_min_loss_pallas_matches_lax(rng, monkeypatch):
         render_cfg=RenderConfig(use_pallas="on", pallas_max_dy=2))
     np.testing.assert_allclose(float(l_pal), float(l_lax),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_photo_layer0_term(rng):
+    """photo_layer0_weight adds an inverse-warp photometric on the
+    layer-0-only truncation: present in parts, summed into total, and its
+    gradient does NOT touch deeper layers (the whole point — layer 0 must
+    carry the visible scene itself)."""
+    from lsi_tpu.config import LossConfig, RenderConfig
+    from lsi_tpu.geometry import transforms
+    from lsi_tpu.geometry.ldi import LDI
+    from lsi_tpu.losses.losses import total_loss
+
+    h, w, l = 16, 32, 2
+    K = np.array([[0.9 * w, 0, (w - 1) / 2], [0, 0.9 * w, (h - 1) / 2],
+                  [0, 0, 1]], np.float32)
+    tex = jnp.asarray(rng.uniform(size=(1, l, h, w, 3)), jnp.float32)
+    disp = jnp.asarray(
+        np.stack([np.full((1, h, w, 1), 0.5, np.float32),
+                  np.full((1, h, w, 1), 0.2, np.float32)], axis=1))
+    ldi = LDI(textures=tex, disparities=disp, intrinsics=jnp.asarray(K[None]))
+    trg = jnp.asarray(rng.uniform(size=(1, h, w, 3)), jnp.float32)
+    pose = transforms.translation_pose(np.array([[-0.05, 0, 0]], np.float32))
+
+    cfg = LossConfig(photo_mode="inverse_warp", photo_layer0_weight=0.7,
+                     smoothness_weight=0.0)
+    parts = total_loss(ldi, trg, pose, cfg, RenderConfig())
+    assert "photo_layer0" in parts
+    assert np.isfinite(float(parts["photo_layer0"]))
+    summed = sum(v for k, v in parts.items()
+                 if k not in ("total", "window_dropped_frac"))
+    np.testing.assert_allclose(float(parts["total"]), float(summed),
+                               rtol=1e-6)
+
+    def l0_only(d):
+        x = LDI(textures=tex, disparities=d, intrinsics=ldi.intrinsics)
+        p = total_loss(x, trg, pose, cfg, RenderConfig())
+        return p["photo_layer0"]
+
+    g = np.asarray(jax.grad(l0_only)(disp))
+    assert np.abs(g[:, 0]).max() > 0        # layer 0 gets signal
+    assert np.abs(g[:, 1]).max() == 0.0     # deep layer untouched
+
+    # single-layer LDI: the extra term is skipped (identical to base loss)
+    one = LDI(textures=tex[:, :1], disparities=disp[:, :1],
+              intrinsics=ldi.intrinsics)
+    p1 = total_loss(one, trg, pose, cfg, RenderConfig())
+    assert "photo_layer0" not in p1
