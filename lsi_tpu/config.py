@@ -20,7 +20,16 @@ class ModelConfig:
     num_scales: int = 5             # encoder downsamplings (UNet depth).
     min_disparity: float = 0.01     # head output range (inverse depth).
     max_disparity: float = 1.0
-    layer0_texture_from_input: bool = True  # layer-0 RGB = input passthrough.
+    layer0_texture_from_input: bool = True
+    deep_heads_stopgrad_trunk: bool = False  # deep-layer heads read the UNet
+                                     # trunk through stop_gradient via their
+                                     # own small branch: hidden-layer
+                                     # training cannot perturb layer-0's
+                                     # representation. Anti-drift candidate
+                                     # #1 from the r3 toy testbed, whose
+                                     # Pareto frontier showed the layer-0
+                                     # drift is transmitted through the
+                                     # shared trunk (BASELINE.md).  # layer-0 RGB = input passthrough.
     compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32).
     ordering_floor: float = 0.2     # deeper-layer disparity ratio floor r:
                                     # d_i = d_{i-1} * (r + (cap-r)*sigmoid).

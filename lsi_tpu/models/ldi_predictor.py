@@ -12,6 +12,7 @@ surface) while deeper layers are predicted/inpainted.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from lsi_tpu.config import ModelConfig
@@ -33,6 +34,18 @@ class LDIPredictor(nn.Module):
         feats = UNet(base_filters=cfg.base_filters,
                      num_scales=cfg.num_scales, dtype=dtype)(image)
 
+        # Optional trunk isolation (anti-drift; see ModelConfig): deep
+        # layers read the features through stop_gradient via a private
+        # conv branch, so their training signal cannot move the trunk —
+        # the r3 toy testbed showed hidden-layer gradients leaking through
+        # the shared trunk drive the late layer-0 depth drift.
+        use_iso = cfg.deep_heads_stopgrad_trunk and l > 1
+        if use_iso:
+            feats_deep = jax.lax.stop_gradient(feats)
+            feats_deep = nn.relu(nn.Conv(
+                cfg.base_filters, (3, 3), padding="SAME", dtype=dtype,
+                name="deep_trunk")(feats_deep))
+
         # --- Disparity heads: multiplicative ordering --------------------
         # Layer 0: d0 = dmin + (dmax - dmin) * sigmoid(raw0).
         # Layer i>0: d_i = d_{i-1} * (r + (cap - r) * sigmoid(raw_i)), with a
@@ -40,8 +53,15 @@ class LDIPredictor(nn.Module):
         # optional cap < 1 forcing strict depth separation between
         # consecutive layers (a collapse guard: with cap == 1 a deep layer
         # can sit exactly on top of layer 0 and never learn hidden geometry).
-        raw_disp = nn.Conv(l, (3, 3), padding="SAME", dtype=dtype,
+        if use_iso:
+            raw0 = nn.Conv(1, (3, 3), padding="SAME", dtype=dtype,
                            name="disp_head")(feats)
+            rawd = nn.Conv(l - 1, (3, 3), padding="SAME", dtype=dtype,
+                           name="disp_head_deep")(feats_deep)
+            raw_disp = jnp.concatenate([raw0, rawd], axis=-1)
+        else:
+            raw_disp = nn.Conv(l, (3, 3), padding="SAME", dtype=dtype,
+                               name="disp_head")(feats)
         raw_disp = raw_disp.astype(jnp.float32)
         sig = nn.sigmoid(raw_disp)  # (B, H, W, L)
         d0 = cfg.min_disparity + (cfg.max_disparity - cfg.min_disparity) * sig[..., 0]
@@ -50,14 +70,34 @@ class LDIPredictor(nn.Module):
         cap_ratio = cfg.ordering_cap
         for i in range(1, l):
             ratio = floor_ratio + (cap_ratio - floor_ratio) * sig[..., i]
-            disps.append(disps[-1] * ratio)
+            base = disps[-1]
+            if use_iso:
+                # Break the multiplicative gradient chain too: without
+                # this, deep-layer losses still reach layer-0 (and the
+                # trunk) through d_i = d_{i-1} * ratio_i. Ordering holds
+                # numerically either way.
+                base = jax.lax.stop_gradient(base)
+            disps.append(base * ratio)
         disparity = jnp.stack(disps, axis=1)[..., None]  # (B, L, H, W, 1)
 
         # --- Texture heads ----------------------------------------------
         num_tex = l - 1 if cfg.layer0_texture_from_input else l
         if num_tex > 0:
-            raw_tex = nn.Conv(num_tex * 3, (3, 3), padding="SAME", dtype=dtype,
-                              name="tex_head")(feats)
+            if use_iso:
+                # Deep textures from the isolated branch; a predicted
+                # layer-0 texture (if any) stays on the live trunk.
+                chunks = []
+                if not cfg.layer0_texture_from_input:
+                    chunks.append(nn.Conv(3, (3, 3), padding="SAME",
+                                          dtype=dtype,
+                                          name="tex_head")(feats))
+                chunks.append(nn.Conv((l - 1) * 3, (3, 3), padding="SAME",
+                                      dtype=dtype,
+                                      name="tex_head_deep")(feats_deep))
+                raw_tex = jnp.concatenate(chunks, axis=-1)
+            else:
+                raw_tex = nn.Conv(num_tex * 3, (3, 3), padding="SAME",
+                                  dtype=dtype, name="tex_head")(feats)
             tex = nn.sigmoid(raw_tex.astype(jnp.float32))
             tex = tex.reshape(b, h, w, num_tex, 3)
             tex = jnp.moveaxis(tex, 3, 1)  # (B, num_tex, H, W, 3)

@@ -149,3 +149,50 @@ def test_lsimodel_save_load_roundtrip(rng, tmp_path):
                                   np.asarray(b.textures))
     np.testing.assert_array_equal(np.asarray(a.disparities),
                                   np.asarray(b.disparities))
+
+
+def test_deep_heads_stopgrad_trunk_isolation(rng):
+    """deep_heads_stopgrad_trunk: a deep-layer-only loss produces ZERO
+    gradient on the UNet trunk and on layer-0's outputs (both the feature
+    path and the multiplicative ordering chain are cut), while a
+    layer-0-only loss still trains the trunk. Ordering still holds."""
+    from lsi_tpu.config import ModelConfig
+    from lsi_tpu.models.ldi_predictor import LDIPredictor
+
+    cfg = ModelConfig(num_layers=3, base_filters=4, num_scales=2,
+                      layer0_texture_from_input=False,
+                      deep_heads_stopgrad_trunk=True,
+                      compute_dtype="float32")
+    model = LDIPredictor(cfg)
+    img = jnp.asarray(rng.uniform(size=(1, 16, 32, 3)), jnp.float32)
+    K = jnp.asarray(np.array([[28.8, 0, 15.5], [0, 28.8, 7.5],
+                              [0, 0, 1]], np.float32)[None])
+    params = model.init(jax.random.key(0), img, K)["params"]
+
+    ldi = model.apply({"params": params}, img, K)
+    d = np.asarray(ldi.disparities)[..., 0]
+    assert (d[:, 1] <= d[:, 0] + 1e-6).all()      # ordering intact
+    assert (d[:, 2] <= d[:, 1] + 1e-6).all()
+
+    def deep_loss(p):
+        out = model.apply({"params": p}, img, K)
+        return (jnp.sum(out.disparities[:, 1:] ** 2)
+                + jnp.sum(out.textures[:, 1:] ** 2))
+
+    def l0_loss(p):
+        out = model.apply({"params": p}, img, K)
+        return jnp.sum(out.disparities[:, 0] ** 2)
+
+    g_deep = jax.grad(deep_loss)(params)
+    g_l0 = jax.grad(l0_loss)(params)
+    flat_deep = jax.tree_util.tree_flatten_with_path(g_deep)[0]
+    trunk_deep = [np.abs(np.asarray(v)).max() for kp, v in flat_deep
+                  if "UNet" in str(kp)]
+    head_deep = [np.abs(np.asarray(v)).max() for kp, v in flat_deep
+                 if "deep" in str(kp)]
+    assert max(trunk_deep) == 0.0, "deep loss leaked into the trunk"
+    assert max(head_deep) > 0.0, "deep heads get no signal"
+    trunk_l0 = [np.abs(np.asarray(v)).max()
+                for kp, v in jax.tree_util.tree_flatten_with_path(g_l0)[0]
+                if "UNet" in str(kp)]
+    assert max(trunk_l0) > 0.0, "layer-0 loss must still train the trunk"
