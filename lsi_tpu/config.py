@@ -59,6 +59,19 @@ class RenderConfig:
 class LossConfig:
     photo_mode: str = "inverse_warp"  # "inverse_warp" | "splat" | "both"
     min_over_layers: bool = True      # per-pixel min over L (layer specializ.)
+    min_layer0_margin: float = 0.0    # >0: deep layers win the per-pixel min
+                                      # only when they beat layer-0's error
+                                      # by this margin (their error is
+                                      # handicapped by +margin before the
+                                      # min). Anti-offloading lever from the
+                                      # r3 toy testbed (BASELINE.md): with a
+                                      # plain min, trained hidden layers can
+                                      # take over pixels where they are only
+                                      # EQUALLY good, releasing layer-0's
+                                      # photometric constraint there and
+                                      # letting its depth drift; genuinely
+                                      # occluded pixels (layer-0 error >>
+                                      # margin) still route to deep layers.
     candidate_radius: int = 0         # r>0: min over (2r+1)^2 candidate
                                       # target samples around each projected
                                       # location (min-over-src-candidates).

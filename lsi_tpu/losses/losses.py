@@ -36,6 +36,7 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
                                 K_trg=None,
                                 min_over_layers: bool = True,
                                 candidate_radius: int = 0,
+                                layer0_margin: float = 0.0,
                                 render_cfg: RenderConfig = RenderConfig(),
                                 return_diag: bool = False):
     """Gather-direction photometric loss, per-pixel min over layers.
@@ -110,6 +111,16 @@ def view_synthesis_inverse_warp(ldi: LDI, target_image: jnp.ndarray,
         err_masked = jnp.where(valid > 0.5, err, big).reshape(b, l, h, w, 1)
     valid = valid.reshape(b, l, h, w, 1)
     if min_over_layers:
+        if layer0_margin > 0.0 and l > 1:
+            # Handicap deep layers by +margin so they win the min only when
+            # they beat layer-0 by more than the margin (see
+            # LossConfig.min_layer0_margin): pixels where a hidden layer is
+            # merely EQUALLY photometric stay layer-0's job, keeping its
+            # depth constrained there. The margin is constant w.r.t. params,
+            # so gradients are untouched except for the argmin routing.
+            is_deep = (jnp.arange(l) > 0)[None, :, None, None, None]
+            err_masked = jnp.where(is_deep, err_masked + layer0_margin,
+                                   err_masked)
         per_pixel = jnp.min(err_masked, axis=1)  # (B, H, W, 1)
     else:
         per_pixel = divide_safe(
@@ -331,6 +342,7 @@ def total_loss(ldi: LDI, target_image: jnp.ndarray,
             ldi, target_image, pose_src2trg, K_trg,
             min_over_layers=loss_cfg.min_over_layers,
             candidate_radius=loss_cfg.candidate_radius,
+            layer0_margin=loss_cfg.min_layer0_margin,
             render_cfg=render_cfg, return_diag=True)
         parts["photo_inverse_warp"] = (
             loss_cfg.inverse_warp_weight * inv_loss)

@@ -53,6 +53,52 @@ def test_min_over_layers_ignores_bad_layer(rng):
     assert float(l_mean) > 0.1
 
 
+def test_min_layer0_margin_routes_ties_to_layer0(rng):
+    """With the margin, a deep layer that is merely EQUALLY good loses the
+    per-pixel min to layer-0 (the photometric gradient stays on layer-0's
+    texture/depth path), while a genuinely better deep layer still wins.
+    See LossConfig.min_layer0_margin (anti-offloading lever)."""
+    h, w = 8, 16
+    good = rng.uniform(size=(1, 1, h, w, 3)).astype(np.float32)
+    pose = transforms.identity_pose((1,))
+    K = jnp.asarray(make_K()[None])
+    trg = jnp.asarray(good[:, 0])
+
+    def loss_of(tex_deep, margin):
+        tex = jnp.asarray(np.concatenate([good, tex_deep], axis=1))
+        disp = jnp.concatenate(
+            [jnp.full((1, 1, h, w, 1), 0.5), jnp.full((1, 1, h, w, 1), 0.25)],
+            axis=1)
+        ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+        grad = jax.grad(lambda t: view_synthesis_inverse_warp(
+            LDI(textures=t, disparities=disp, intrinsics=K), trg, pose,
+            min_over_layers=True, layer0_margin=margin))(tex)
+        loss = view_synthesis_inverse_warp(ldi, trg, pose,
+                                           min_over_layers=True,
+                                           layer0_margin=margin)
+        return float(loss), np.asarray(grad)
+
+    # Tie case: deep layer == layer-0 texture (both perfect). Without the
+    # margin jnp.min splits the subgradient across tied layers; with it the
+    # deep layer is strictly worse, so ALL gradient mass rides layer-0.
+    _, g = loss_of(good.copy(), margin=0.05)
+    assert np.abs(g[:, 1]).sum() == 0.0, "tied deep layer must lose the min"
+    # Layer-0 catastrophically wrong (occlusion analogue): the deep layer
+    # still wins despite the handicap, and the margin shows up as a
+    # constant offset on the loss value (gradient-neutral).
+    bad0 = 1.0 - good
+    tex = jnp.asarray(np.concatenate([bad0, good], axis=1))
+    disp = jnp.concatenate(
+        [jnp.full((1, 1, h, w, 1), 0.5), jnp.full((1, 1, h, w, 1), 0.25)],
+        axis=1)
+    ldi = LDI(textures=tex, disparities=disp, intrinsics=K)
+    l_m = view_synthesis_inverse_warp(ldi, trg, pose, min_over_layers=True,
+                                      layer0_margin=0.05)
+    l_0 = view_synthesis_inverse_warp(ldi, trg, pose, min_over_layers=True,
+                                      layer0_margin=0.0)
+    assert abs(float(l_m) - float(l_0) - 0.05) < 1e-3
+
+
 def test_splat_loss_zero_on_matching_render(rng):
     ldi = flat_ldi(rng, l=1)
     trg = jnp.asarray(np.asarray(ldi.textures)[:, 0])
