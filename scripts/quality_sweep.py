@@ -114,7 +114,37 @@ VARIANTS = {
                "loss.consistency_stop_target": True,
                "loss.consistency_disocc_only": True,
                "loss.smoothness_edge_gate_deep": False},
+    # --- r3 toy-testbed arms (run with --toy; BASELINE.md "CPU toy drift
+    # testbed"). The preset IS the anchor_occ recipe, so control = {}.
+    # EMA teacher with the Tarvainen-Valpola decay ramp (REFUTED on the
+    # testbed: self-EMA endorses the slide — kept for reproducibility).
+    "teacher_ramp": {"loss.consistency_ema_teacher": True},
+    # pseudo-label window 500->5000 (best measured balanced composite).
+    "window5k": {"loss.consistency_stop_step": 5000},
+    # LR floor: is the drift late-training diffusion? (refuted)
+    "lowlr": {"train.lr_end_factor": 0.005},
+    # layer-0-only photometric tether (ineffective: the drift lives in the
+    # photometric null space).
+    "l0photo": {"loss.photo_layer0_weight": 0.5},
+    # r4 candidate #1: deep-layer heads read the trunk through
+    # stop_gradient — hidden-layer training provably cannot perturb
+    # layer-0's representation (the toy frontier says the coupling IS the
+    # shared trunk).
+    "sg_trunk": {"model.deep_heads_stopgrad_trunk": True},
+    # anti-offloading margin in the min-over-layers photometric: deep
+    # layers win a pixel only by beating layer-0 by > margin, so layer-0
+    # keeps its constraint on texture-ambiguous (tie) pixels.
+    "margin02": {"loss.min_layer0_margin": 0.02},
+    "margin05": {"loss.min_layer0_margin": 0.05},
+    # composition of the two r4 mechanisms.
+    "sg_margin": {"model.deep_heads_stopgrad_trunk": True,
+                  "loss.min_layer0_margin": 0.02},
 }
+
+# --toy: the CPU drift testbed (BASELINE.md r3) — 32x64 b4 reproduces the
+# flagship late layer-0 drift at a 10k horizon in ~55 min/arm on one host
+# core, no chip needed.
+TOY = {"data.height": 32, "data.width": 64, "data.batch_size": 4}
 
 
 def apply_overrides(cfg, kv: dict):
@@ -124,12 +154,15 @@ def apply_overrides(cfg, kv: dict):
     return cfg
 
 
-def run_variant(name: str, steps: int, eval_every: int, out_root: str):
+def run_variant(name: str, steps: int, eval_every: int, out_root: str,
+                toy: bool = False):
     from lsi_tpu.config import get_config
     from lsi_tpu.train.trainer import Trainer
 
     ckpt = os.path.join(out_root, name)
     cfg = get_config("synthetic_multi")
+    if toy:
+        cfg = apply_overrides(cfg, TOY)
     cfg = apply_overrides(cfg, VARIANTS[name])
     cfg = cfg.replace(train=dataclasses.replace(
         cfg.train, max_steps=steps, eval_every=eval_every,
@@ -199,6 +232,8 @@ def main():
     ap.add_argument("--out", default="/tmp/lsi_sweep")
     ap.add_argument("--variants", default="")
     ap.add_argument("--summarize", default="")
+    ap.add_argument("--toy", action="store_true",
+                    help="CPU drift testbed scale (32x64 b4; BASELINE.md)")
     args = ap.parse_args()
 
     if args.summarize:
@@ -217,15 +252,18 @@ def main():
         # RSS and was OOM-killed mid-variant 5).
         import subprocess
         for name in names:
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--steps", str(args.steps),
-                 "--eval_every", str(args.eval_every),
-                 "--out", args.out, "--variants", name]).returncode
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--steps", str(args.steps),
+                   "--eval_every", str(args.eval_every),
+                   "--out", args.out, "--variants", name]
+            if args.toy:
+                cmd.append("--toy")
+            rc = subprocess.run(cmd).returncode
             if rc != 0:
                 print(f"=== variant {name} FAILED rc={rc}", flush=True)
     else:
-        run_variant(names[0], args.steps, args.eval_every, args.out)
+        run_variant(names[0], args.steps, args.eval_every, args.out,
+                    toy=args.toy)
     summarize(args.out)
 
 
