@@ -20,7 +20,7 @@ class ModelConfig:
     num_scales: int = 5             # encoder downsamplings (UNet depth).
     min_disparity: float = 0.01     # head output range (inverse depth).
     max_disparity: float = 1.0
-    layer0_texture_from_input: bool = True
+    layer0_texture_from_input: bool = True  # layer-0 RGB = input passthrough.
     deep_heads_stopgrad_trunk: bool = False  # deep-layer heads read the UNet
                                      # trunk through stop_gradient via their
                                      # own small branch: hidden-layer
@@ -29,7 +29,7 @@ class ModelConfig:
                                      # #1 from the r3 toy testbed, whose
                                      # Pareto frontier showed the layer-0
                                      # drift is transmitted through the
-                                     # shared trunk (BASELINE.md).  # layer-0 RGB = input passthrough.
+                                     # shared trunk (BASELINE.md).
     compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32).
     ordering_floor: float = 0.2     # deeper-layer disparity ratio floor r:
                                     # d_i = d_{i-1} * (r + (cap-r)*sigmoid).
@@ -312,7 +312,14 @@ PRESETS = {
                         consistency_stop_target=True,
                         consistency_disocc_only=True,
                         consistency_deep_only=True,
-                        consistency_start_step=500),
+                        consistency_start_step=500,
+                        # GT-free production guidance (BASELINE.md toy
+                        # synthesis): pseudo-label WINDOW — boot the hidden
+                        # layers, release at mid-horizon (the measured
+                        # balanced point was 5k of a 10k run) so the term
+                        # whose trunk-leaked gradient drives late layer-0
+                        # drift is gone for the second half.
+                        consistency_stop_step=50_000),
         data=DataConfig(dataset="kitti", height=256, width=768,
                         batch_size=8),
         train=TrainConfig(learning_rate=5e-4, warmup_steps=50),

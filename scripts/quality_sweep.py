@@ -227,14 +227,28 @@ def summarize(out_root: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="train steps (default 3000; 10000 under --toy — "
+                         "the documented testbed horizon)")
     ap.add_argument("--eval_every", type=int, default=250)
     ap.add_argument("--out", default="/tmp/lsi_sweep")
     ap.add_argument("--variants", default="")
     ap.add_argument("--summarize", default="")
     ap.add_argument("--toy", action="store_true",
-                    help="CPU drift testbed scale (32x64 b4; BASELINE.md)")
+                    help="CPU drift testbed scale (32x64 b4; BASELINE.md). "
+                         "Defaults --steps to the documented 10k horizon "
+                         "and namespaces output under <out>/toy so toy runs "
+                         "never resume from (or summarize with) full-size "
+                         "checkpoints.")
     args = ap.parse_args()
+    # ADVICE r3: toy runs must not share ckpt dirs with full-size runs
+    # (Trainer auto-restores and the fully-conv params load across
+    # resolutions — a toy run could silently resume from a full-res ckpt).
+    raw_out = args.out
+    if args.toy:
+        args.out = os.path.join(args.out, "toy")
+    if args.steps is None:
+        args.steps = 10000 if args.toy else 3000
 
     if args.summarize:
         summarize(args.summarize)
@@ -252,10 +266,11 @@ def main():
         # RSS and was OOM-killed mid-variant 5).
         import subprocess
         for name in names:
+            # raw_out: the child re-applies the --toy namespacing itself.
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--steps", str(args.steps),
                    "--eval_every", str(args.eval_every),
-                   "--out", args.out, "--variants", name]
+                   "--out", raw_out, "--variants", name]
             if args.toy:
                 cmd.append("--toy")
             rc = subprocess.run(cmd).returncode
