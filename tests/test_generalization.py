@@ -53,29 +53,47 @@ def test_multi_object_generalization(tmp_path):
     assert metrics["eval_coverage"] > 0.95, metrics
 
 
-@requires_tpu
+requires_drift10k = pytest.mark.skipif(
+    not os.environ.get("LSI_TPU_TEST_DRIFT10K"),
+    reason="~1 h CPU drift protocol (set LSI_TPU_TEST_DRIFT10K=1)")
+
+
+@requires_drift10k
 @pytest.mark.slow
 def test_depth_drift_bounded(tmp_path):
     """VERDICT r2 item 1 done-criterion: depth accuracy must not degrade as
-    view synthesis improves. Trains the flagship synthetic_multi recipe
-    (scaled down) with held-out evals and bounds the drift: the mean of the
-    last two evals' abs_rel must not exceed the post-warmup minimum by more
-    than the eval noise band (r3 sweep: single-eval noise ±0.03 at 8
-    batches)."""
+    view synthesis improves.
+
+    Re-targeted in r4 (VERDICT r3 weak #6): the measured drift STARTS after
+    ~5k steps (BASELINE.md 10k toy table: flat to 5k, +0.18 by 10k), so the
+    r3 version of this test — 2k steps — certified nothing. This runs the
+    full 10k CPU toy-testbed protocol (32x64 b4, ~1 h on one host core; the
+    exact reproducible setup of scripts/quality_sweep.py --toy) under the
+    SHIPPED anti-drift recipe and bounds the drift statistic:
+
+        drift = mean(last two evals' abs_rel) - min(post-warmup abs_rel)
+
+    The bound fails on the r3 control (+0.18 measured) and passes on the
+    shipped recipe (r4 sweep winner; BASELINE.md r4 synthesis table).
+    Env-gated separately from the chip suite because it needs neither a
+    chip nor <1 h: LSI_TPU_TEST_DRIFT10K=1.
+    """
+    import dataclasses
     import json
 
-    from lsi_tpu.config import DataConfig, TrainConfig, get_config
+    from lsi_tpu.config import get_config
     from lsi_tpu.train.trainer import Trainer
 
     cfg = get_config("synthetic_multi")
+    # The CPU toy testbed scale (quality_sweep.TOY) + the shipped recipe.
     cfg = cfg.replace(
-        data=DataConfig(dataset="synthetic", synthetic_scene="multi",
-                        height=64, width=128, batch_size=8),
-        train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
-                          max_steps=2000, log_every=200,
-                          checkpoint_dir=str(tmp_path / "ckpt"),
-                          checkpoint_every=2000, eval_every=250,
-                          eval_batches=8, seed=0))
+        data=dataclasses.replace(cfg.data, height=32, width=64,
+                                 batch_size=4),
+        train=dataclasses.replace(
+            cfg.train, max_steps=10_000, warmup_steps=50, log_every=500,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            checkpoint_every=10_000, eval_every=500,
+            eval_batches=8, seed=0))
     Trainer(cfg).train()
 
     evals = []
@@ -84,10 +102,13 @@ def test_depth_drift_bounded(tmp_path):
             rec = json.loads(line)
             if "eval_abs_rel" in rec:
                 evals.append((rec["step"], rec["eval_abs_rel"]))
-    assert len(evals) >= 6
+    assert len(evals) >= 15
     settled = [v for s, v in evals if s >= 500]
     late = np.mean([v for _, v in evals[-2:]])
     drift = late - min(settled)
-    assert drift <= 0.045, (
+    # r3 control measured +0.18 at this horizon; the shipped recipe's
+    # measured drift + the +-0.03 single-eval noise band sets the bound
+    # (BASELINE.md r4 toy synthesis).
+    assert drift <= 0.12, (
         f"layer-0 abs_rel drifted {drift:+.3f} from its post-warmup minimum "
         f"{min(settled):.3f}; trajectory: {evals}")
