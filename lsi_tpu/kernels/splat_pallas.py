@@ -222,6 +222,11 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
       out_hw:  (out_h, out_w).
       max_dx / max_dy: static displacement window (see module docstring).
       block_rows: source rows per grid step.
+      bf16_matmul: False (default) = f32-exact tent matmuls
+        (precision=HIGHEST — Mosaic's DEFAULT would silently truncate f32
+        operands to bf16 on the MXU; docs/parity.md numerics policy).
+        True = explicit bf16 operands at DEFAULT precision (2x MXU rate,
+        ~3-digit weights, f32 accumulation); OFF in every preset.
       fold_h / base_offset: source row r maps to target base row
         ``r % fold_h + base_offset`` (defaults: fold_h=out_h, offset 0 —
         the plain folded-row contract). The spatial halo-sharded render
