@@ -251,6 +251,20 @@ class TrainConfig:
                                      # get no gradient), booting a clean
                                      # visible-surface estimate before deeper
                                      # layers join.
+    freeze_layer0_step: int = 0      # >0: from this step on, every parameter
+                                     # layer-0's output depends on (UNet
+                                     # trunk + the layer-0 channels of the
+                                     # heads) gets a ZERO update — deep-layer
+                                     # heads keep training. The closing
+                                     # bracket of staged training (boot
+                                     # layer-0 first via stage_layer0_steps,
+                                     # pin it late via this): late layer-0
+                                     # depth drift is impossible by
+                                     # construction while hidden-surface
+                                     # learning continues. Set to the
+                                     # post-warmup abs_rel minimum (~50% of
+                                     # the horizon on the toy testbed,
+                                     # BASELINE.md). LDI family only.
     skip_nonfinite_updates: bool = True  # optax.apply_if_finite: a step with
                                      # inf/nan grads is SKIPPED (params/opt
                                      # state untouched) instead of poisoning

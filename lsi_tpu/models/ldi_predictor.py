@@ -20,6 +20,38 @@ from lsi_tpu.geometry.ldi import LDI
 from lsi_tpu.models.unet import UNet
 
 
+def freeze_layer0_grad_mask(cfg: ModelConfig, tree):
+    """Zero the entries of a grad/update pytree that feed layer-0's output.
+
+    The late-phase layer-0 freeze (``train.freeze_layer0_step``): layer-0's
+    texture/disparity depend on the UNet trunk plus the LEADING output
+    channels of the shared heads (channel 0 of ``disp_head``; channels 0-2 of
+    ``tex_head`` when layer-0 texture is predicted), while deeper layers own
+    the remaining channels — a conv's output channels have disjoint kernels,
+    so per-channel masking separates the layers exactly. In the
+    ``deep_heads_stopgrad_trunk`` architecture the heads are disjoint modules
+    and the layer-0 ones (``disp_head``/``tex_head``) zero out whole.
+
+    Applied by the trainer to BOTH the gradients (keeps Adam moments of
+    frozen entries decaying instead of accumulating) and the optimizer
+    updates (Adam's momentum tail would otherwise keep moving frozen params
+    for ~1/(1-b1) steps after the switch) — the frozen entries are bitwise
+    constant from the switch on.
+    """
+    def mask(path, g):
+        name = getattr(path[0], "key", str(path[0]))
+        if name.startswith("UNet"):
+            return jnp.zeros_like(g)
+        if name == "disp_head":
+            return g.at[..., :1].set(0.0)
+        if name == "tex_head" and not cfg.layer0_texture_from_input:
+            # Predicted layer-0 texture = leading 3 channels (all 3 in the
+            # stopgrad-trunk architecture, where tex_head is layer-0-only).
+            return g.at[..., :3].set(0.0)
+        return g
+    return jax.tree_util.tree_map_with_path(mask, tree)
+
+
 class LDIPredictor(nn.Module):
     config: ModelConfig = ModelConfig()
 

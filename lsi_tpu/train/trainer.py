@@ -136,7 +136,8 @@ def _truncate_ldi(ldi, num_layers: int):
 
 
 def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
-                    stage_layer0: bool = False):
+                    stage_layer0: bool = False,
+                    freeze_layer0: bool = False):
     """Build the jitted, sharded train step.
 
     Returns ``step_fn(state, batch) -> (state, metrics)``. With a MeshPlan,
@@ -147,6 +148,12 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
     the loss sees only layer 0 of the prediction — the deep heads get no
     gradient, booting a clean visible-surface estimate first; the Trainer
     switches to the full step after ``cfg.train.stage_layer0_steps``.
+
+    With ``freeze_layer0`` (``train.freeze_layer0_step``; the closing
+    bracket of staged training), gradients AND optimizer updates are masked
+    so every parameter layer-0's output depends on is bitwise constant —
+    only deep-layer heads train; late layer-0 depth drift is impossible by
+    construction (see ``models.ldi_predictor.freeze_layer0_grad_mask``).
     """
     model = build_model(cfg.model)
     two_preds = (cfg.model.family != "mpi"
@@ -228,7 +235,21 @@ def make_train_step(cfg: Config, plan: Optional[MeshPlan] = None,
     def step_fn(state: TrainState, batch: Batch):
         (_, parts), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.ema_params, batch)
-        new_state = state.apply_gradients(grads=grads)
+        if freeze_layer0:
+            from lsi_tpu.models.ldi_predictor import freeze_layer0_grad_mask
+            # Mask the grads (Adam moments of frozen entries decay instead
+            # of accumulating) AND the updates (the momentum tail from
+            # pre-freeze grads would otherwise keep moving frozen params).
+            grads = freeze_layer0_grad_mask(cfg.model, grads)
+            updates, new_opt_state = state.tx.update(
+                grads, state.opt_state, state.params)
+            updates = freeze_layer0_grad_mask(cfg.model, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                opt_state=new_opt_state)
+        else:
+            new_state = state.apply_gradients(grads=grads)
         if state.ema_params is not None:
             # Mean-teacher decay ramp (Tarvainen & Valpola, NeurIPS'17):
             # d_t = min(d_cfg, (t+1)/(t+10)). A FIXED long-horizon EMA
@@ -314,6 +335,35 @@ class Trainer:
             stop_cfg = self.config.replace(loss=dataclasses.replace(
                 lcfg, consistency_weight=0.0))
             self._cons_stop_step_fn = make_train_step(stop_cfg, self.plan)
+        # Late layer-0 freeze (train.freeze_layer0_step): the final phase —
+        # from the freeze step on, only deep-layer heads train (fourth
+        # compiled step; update masking makes layer-0 bitwise constant).
+        self._freeze_step_fn = None
+        fz = self.config.train.freeze_layer0_step
+        if fz > 0:
+            if self.config.model.family != "ldi":
+                raise ValueError("train.freeze_layer0_step is an LDI-family "
+                                 "mechanism (layer-0 vs deep-head param "
+                                 f"split); family={self.config.model.family!r}")
+            if lcfg.consistency_weight > 0 and fz < lcfg.consistency_start_step:
+                raise ValueError(
+                    f"train.freeze_layer0_step={fz} must be >= "
+                    f"loss.consistency_start_step={lcfg.consistency_start_step}"
+                    " (the freeze is the LAST phase)")
+            freeze_cfg = self.config
+            if lcfg.consistency_weight > 0 and lcfg.consistency_stop_step > 0:
+                if fz < lcfg.consistency_stop_step:
+                    raise ValueError(
+                        f"train.freeze_layer0_step={fz} must be >= "
+                        f"loss.consistency_stop_step="
+                        f"{lcfg.consistency_stop_step} (the freeze is the "
+                        "LAST phase)")
+                # The freeze phase starts at/after the pseudo-label stop:
+                # compile it with the stopped loss.
+                freeze_cfg = self.config.replace(loss=dataclasses.replace(
+                    lcfg, consistency_weight=0.0))
+            self._freeze_step_fn = make_train_step(freeze_cfg, self.plan,
+                                                   freeze_layer0=True)
         self._eval_step = None
         self._eval_iter = None
         self._best_eval_abs_rel = None
@@ -407,6 +457,9 @@ class Trainer:
                 if (self._stage_step_fn is not None
                         and step < cfg.train.stage_layer0_steps):
                     step_fn = self._stage_step_fn
+                elif (self._freeze_step_fn is not None
+                        and step >= cfg.train.freeze_layer0_step):
+                    step_fn = self._freeze_step_fn
                 elif (self._cons_warmup_step_fn is not None
                         and step < cfg.loss.consistency_start_step):
                     step_fn = self._cons_warmup_step_fn

@@ -139,6 +139,12 @@ VARIANTS = {
     # composition of the two r4 mechanisms.
     "sg_margin": {"model.deep_heads_stopgrad_trunk": True,
                   "loss.min_layer0_margin": 0.02},
+    # r4 candidate #2: late layer-0 freeze at the post-warmup abs_rel
+    # minimum (~50% horizon) — from there on only deep heads train, so
+    # late layer-0 drift is IMPOSSIBLE by construction while the disocc
+    # pseudo-label keeps teaching hidden geometry (unlike window5k, which
+    # buys its drift reduction by killing that signal at 5k).
+    "freeze5k": {"train.freeze_layer0_step": 5000},
 }
 
 # --toy: the CPU drift testbed (BASELINE.md r3) — 32x64 b4 reproduces the

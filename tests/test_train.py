@@ -257,3 +257,123 @@ def test_lr_end_factor():
     cfg = Config(train=TrainConfig(learning_rate=4e-4, warmup_steps=10,
                                    max_steps=1000, lr_end_factor=0.005))
     assert abs(float(make_lr_schedule(cfg)(1000)) - 4e-4 * 0.005) < 1e-9
+
+
+# --- Late layer-0 freeze (train.freeze_layer0_step) -------------------------
+
+def test_freeze_layer0_mask_zeroes_exactly_the_layer0_entries():
+    """The grad/update mask freezes the trunk + layer-0 head channels and
+    nothing else (predicted-texture model: tex channels 0-2 are layer 0)."""
+    from lsi_tpu.models.ldi_predictor import freeze_layer0_grad_mask
+    from lsi_tpu.train.trainer import build_model
+
+    mcfg = ModelConfig(num_layers=3, base_filters=8, num_scales=3,
+                       layer0_texture_from_input=False,
+                       compute_dtype="float32")
+    model = build_model(mcfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 64, 3)),
+                        jnp.broadcast_to(jnp.eye(3), (1, 3, 3)))["params"]
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    masked = freeze_layer0_grad_mask(mcfg, ones)
+
+    trunk = [k for k in masked if k.startswith("UNet")]
+    assert trunk, list(masked)
+    for g in jax.tree_util.tree_leaves({k: masked[k] for k in trunk}):
+        assert float(jnp.abs(g).max()) == 0.0
+    dk, db = masked["disp_head"]["kernel"], masked["disp_head"]["bias"]
+    assert float(jnp.abs(dk[..., 0]).max()) == 0.0 and float(db[0]) == 0.0
+    assert float(dk[..., 1:].min()) == 1.0 and float(db[1:].min()) == 1.0
+    tk, tb = masked["tex_head"]["kernel"], masked["tex_head"]["bias"]
+    assert float(jnp.abs(tk[..., :3]).max()) == 0.0
+    assert float(jnp.abs(tb[:3]).max()) == 0.0
+    assert float(tk[..., 3:].min()) == 1.0 and float(tb[3:].min()) == 1.0
+
+
+def test_freeze_layer0_mask_passthrough_texture_keeps_tex_head_live():
+    from lsi_tpu.models.ldi_predictor import freeze_layer0_grad_mask
+    from lsi_tpu.train.trainer import build_model
+
+    mcfg = ModelConfig(num_layers=2, base_filters=8, num_scales=3,
+                       compute_dtype="float32")  # passthrough layer-0 RGB
+    model = build_model(mcfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 64, 3)),
+                        jnp.broadcast_to(jnp.eye(3), (1, 3, 3)))["params"]
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    masked = freeze_layer0_grad_mask(mcfg, ones)
+    # tex_head serves deep layers only here: fully live.
+    assert float(jnp.min(masked["tex_head"]["kernel"])) == 1.0
+
+
+def test_freeze_layer0_step_pins_layer0_bitwise():
+    """After the freeze switch, layer-0 disparity is BITWISE constant while
+    deep layers keep training — including through Adam's momentum tail from
+    the pre-freeze steps (the reason updates are masked, not just grads)."""
+    from lsi_tpu.train.trainer import build_model
+
+    cfg = tiny_config()
+    normal_fn = make_train_step(cfg)
+    freeze_fn = make_train_step(cfg, freeze_layer0=True)
+    state = create_state(cfg, jax.random.key(0))
+    it = make_dataset(cfg.data, seed=0)
+    for _ in range(3):  # build up nonzero Adam moments first
+        state, _ = normal_fn(state, next(it))
+
+    model = build_model(cfg.model)
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 32, 64, 3),
+                      jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
+    before = model.apply({"params": state.params}, img, eye)
+    for _ in range(5):
+        state, metrics = freeze_fn(state, next(it))
+    assert np.isfinite(float(metrics["total"]))
+    after = model.apply({"params": state.params}, img, eye)
+
+    np.testing.assert_array_equal(np.asarray(before.disparities[:, 0]),
+                                  np.asarray(after.disparities[:, 0]))
+    assert not np.array_equal(np.asarray(before.disparities[:, 1]),
+                              np.asarray(after.disparities[:, 1]))
+
+
+def test_trainer_freeze_phase_switch(tmp_path):
+    """Trainer selects the freeze step from freeze_layer0_step on: the trunk
+    is bitwise identical across the frozen leg of a resumed run."""
+    from lsi_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(str(tmp_path))
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, max_steps=6, freeze_layer0_step=3, checkpoint_every=3,
+        log_every=2, eval_every=0))
+    t = Trainer(cfg)
+    assert t._freeze_step_fn is not None
+    state3, _ = t.train(max_steps=3)
+    trunk3 = jax.device_get({k: v for k, v in state3.params.items()
+                             if k.startswith("UNet")})
+    state6, _ = t.train()  # resumes from the step-3 checkpoint
+    assert int(state6.step) == 6
+    trunk6 = jax.device_get({k: v for k, v in state6.params.items()
+                             if k.startswith("UNet")})
+    for a, b in zip(jax.tree_util.tree_leaves(trunk3),
+                    jax.tree_util.tree_leaves(trunk6)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # deep disparity channel kept training
+    d3 = np.asarray(state3.params["disp_head"]["kernel"])[..., 1]
+    d6 = np.asarray(state6.params["disp_head"]["kernel"])[..., 1]
+    assert not np.array_equal(d3, d6)
+
+
+def test_trainer_freeze_phase_validation(tmp_path):
+    from lsi_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(str(tmp_path))
+    mpi = cfg.replace(
+        model=ModelConfig(family="mpi", num_planes=4, base_filters=8,
+                          num_scales=3),
+        train=dataclasses.replace(cfg.train, freeze_layer0_step=10))
+    with pytest.raises(ValueError, match="LDI-family"):
+        Trainer(mpi)
+    bad_order = cfg.replace(
+        loss=dataclasses.replace(cfg.loss, consistency_weight=0.5,
+                                 consistency_stop_step=50),
+        train=dataclasses.replace(cfg.train, freeze_layer0_step=10))
+    with pytest.raises(ValueError, match="LAST phase"):
+        Trainer(bad_order)
