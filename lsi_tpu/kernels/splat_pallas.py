@@ -357,7 +357,6 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
         u = col_f - xt[:, None]           # (Ws, tile_w)
         a = jnp.maximum(0.0, 1.0 - jnp.abs(u))
         ap = jnp.sign(u) * (jnp.abs(u) < 1.0)      # d tent / d x
-        a_all = jnp.concatenate([a, ap], axis=0)   # (2Ws, tile_w)
 
         uy = dy_f - yt[None, :]           # (NDY, Ws)
         rw = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
@@ -371,15 +370,24 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
         # HIGHEST: f32-exact MXU passes — this backward is also the
         # gather kernel's forward (gather_pallas._fwd_impl) and both are
         # oracle-matched at f32 tolerance on chip (r3 verdict weak #1).
-        m = jax.lax.dot_general(
-            cot, a_all, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)   # (NDY*C1, 2Ws)
-        m = m.reshape(ndy, c1, 2, ws)
+        # TWO half-width dots (tent, tent') rather than one dot against
+        # their lane-concatenation: the single-dot form needs a
+        # lane-splitting reshape of the (NDY*C1, 2Ws) result, which Mosaic
+        # rejects ("infer-vector-layout: unsupported shape cast") at
+        # small Ws — sublane-only reshapes like the ones below are the
+        # supported pattern (same FLOPs either way).
+        def tent_dot(mat):
+            r = jax.lax.dot_general(
+                cot, mat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)   # (NDY*C1, Ws)
+            return r.reshape(ndy, c1, ws)
 
-        s0 = jnp.sum(rw[:, None, :] * m[:, :, 0, :], axis=0)   # (C1, Ws)
-        sx = jnp.sum(rw[:, None, :] * m[:, :, 1, :], axis=0)
-        sy = jnp.sum(rwp[:, None, :] * m[:, :, 0, :], axis=0)
+        m0 = tent_dot(a)
+        m1 = tent_dot(ap)
+        s0 = jnp.sum(rw[:, None, :] * m0, axis=0)   # (C1, Ws)
+        sx = jnp.sum(rw[:, None, :] * m1, axis=0)
+        sy = jnp.sum(rwp[:, None, :] * m0, axis=0)
         res = jnp.stack([s0, sx, sy])[None]        # (1, 3, C1, Ws)
         cur = out_ref[pl.ds(s, 1)]
         out_ref[pl.ds(s, 1)] = cur + res

@@ -60,16 +60,18 @@ def test_pipeline_batches_and_prefetch():
 
 
 def test_pipeline_sharded_layout():
+    """Batch lands sharded over the mesh data axis: 8-way on the virtual
+    CPU mesh (conftest), 1-way on a single real chip — each device holds
+    batch/num_devices samples either way."""
     from lsi_tpu.parallel.mesh import make_mesh_plan
     plan = make_mesh_plan()
-    assert plan.num_devices == 8  # virtual CPU mesh from conftest
+    n = plan.num_devices
     cfg = DataConfig(dataset="synthetic", height=16, width=24, batch_size=8)
     it = make_dataset(cfg, seed=0, sharding=plan.batch_sharding())
     b = next(it)
-    assert len(b.src_image.sharding.device_set) == 8
-    # each device holds 1/8 of the batch
+    assert len(b.src_image.sharding.device_set) == n
     shard = b.src_image.addressable_shards[0]
-    assert shard.data.shape == (1, 16, 24, 3)
+    assert shard.data.shape == (8 // n, 16, 24, 3)
 
 
 def test_pipeline_stream_deterministic():
