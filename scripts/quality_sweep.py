@@ -145,6 +145,10 @@ VARIANTS = {
     # pseudo-label keeps teaching hidden geometry (unlike window5k, which
     # buys its drift reduction by killing that signal at 5k).
     "freeze5k": {"train.freeze_layer0_step": 5000},
+    # composite: margin improves the pre-freeze layer-0 (anti-offloading
+    # keeps its constraint on tie pixels), freeze pins it after.
+    "margin_freeze": {"loss.min_layer0_margin": 0.02,
+                      "train.freeze_layer0_step": 5000},
 }
 
 # --toy: the CPU drift testbed (BASELINE.md r3) — 32x64 b4 reproduces the

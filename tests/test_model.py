@@ -97,13 +97,18 @@ def test_api_end_to_end(rng):
     novel = model.render(ldi, pose)
     assert novel.shape == (1, 32, 48, 3)
     assert np.isfinite(np.asarray(novel)).all()
-    # functional forms
+    # functional forms. On TPU the two paths compile (and fuse) separately
+    # and the UNet convs run at the MXU's DEFAULT precision by the repo's
+    # numerics policy (docs/parity.md: network convs DEFAULT, geometry and
+    # render kernels f32-exact), so bf16-rounding differences up to ~1e-3
+    # are expected; on CPU both are f32-exact.
+    tol = 4e-3 if jax.default_backend() == "tpu" else 1e-5
     ldi2 = predict_ldi(img, model.params, cfg.model)
     np.testing.assert_allclose(np.asarray(ldi2.disparities),
-                               np.asarray(ldi.disparities), atol=1e-5)
+                               np.asarray(ldi.disparities), atol=tol)
     novel2 = render(ldi, pose)
     np.testing.assert_allclose(np.asarray(novel2), np.asarray(novel),
-                               atol=1e-5)
+                               atol=tol)
 
 
 def test_single_layer_ldi(rng):

@@ -15,6 +15,19 @@ from lsi_tpu.geometry.transforms import translation_pose
 from lsi_tpu.ops.splat import splat_bilinear
 from lsi_tpu.parallel.spatial import make_spatial_mesh, render_forward_spatial
 
+# The mesh-composition tests need the virtual 8-device CPU mesh (conftest)
+# AND the lax local-splat path their exactness contract is stated against;
+# on the 1-chip TPU suite neither holds (no 8-way mesh; the local splat is
+# the Pallas kernel, a different accumulation order). The kernel-contract
+# tests below (fold_offset / two_shard manual composition) are
+# device-agnostic and DO run on the chip suite.
+needs_mesh8 = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="spatial composition is an 8-device virtual-CPU-mesh protocol; "
+           "the chip-side kernel contract is covered by "
+           "test_kernel_fold_offset_matches_windowed_lax and "
+           "test_two_shard_pallas_halo_composition_manual")
+
 
 def make_ldi(rng, b=1, l=2, h=32, w=128):
     tex = jnp.asarray(rng.uniform(size=(b, l, h, w, 3)), jnp.float32)
@@ -27,6 +40,7 @@ def make_ldi(rng, b=1, l=2, h=32, w=128):
                intrinsics=jnp.broadcast_to(jnp.asarray(K), (b, 3, 3)))
 
 
+@needs_mesh8
 def test_spatial_equals_global_pure_translation(rng):
     """Horizontal stereo (dy == 0 everywhere): spatial == global exactly."""
     ldi = make_ldi(rng)
@@ -42,6 +56,7 @@ def test_spatial_equals_global_pure_translation(rng):
     assert len(out_s["rgb"].sharding.device_set) == 8
 
 
+@needs_mesh8
 def test_spatial_equals_global_with_vertical_motion(rng):
     """Vertical camera motion crosses shard boundaries: the halo exchange
     must reconstruct the global render exactly (displacement kept within
@@ -59,6 +74,7 @@ def test_spatial_equals_global_with_vertical_motion(rng):
                                    rtol=1e-5, atol=1e-5, err_msg=k)
 
 
+@needs_mesh8
 def test_spatial_window_matches_windowed_global(rng):
     """Motion EXCEEDING the window: spatial must equal the windowed global
     reference (splat_bilinear max_dy_window), not the unwindowed one."""
@@ -102,6 +118,7 @@ def test_spatial_window_matches_windowed_global(rng):
                   - np.asarray(out_s["rgb"])).max() > 1e-3
 
 
+@needs_mesh8
 def test_spatial_composes_with_data_axis(rng):
     """2-D ('data', 'space') mesh: batch and height shard independently."""
     ldi = make_ldi(rng, b=2)
@@ -119,6 +136,7 @@ def test_spatial_composes_with_data_axis(rng):
     assert len(out_s["rgb"].sharding.device_set) == 8
 
 
+@needs_mesh8
 def test_spatial_rejects_thin_shards(rng):
     ldi = make_ldi(rng, h=16)  # 8 shards x 2 rows < pad
     pose = translation_pose(np.array([[-0.3, 0.0, 0.0]], np.float32))
@@ -127,6 +145,7 @@ def test_spatial_rejects_thin_shards(rng):
                                pallas_max_dy=2)
 
 
+@needs_mesh8
 def test_spatial_render_is_differentiable(rng):
     """Gradients flow through the halo exchange into the LDI shards and
     match the global windowed render's gradients (lax local splat path)."""
