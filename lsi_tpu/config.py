@@ -327,16 +327,21 @@ PRESETS = {
                         consistency_disocc_only=True,
                         consistency_deep_only=True,
                         consistency_start_step=500,
-                        # GT-free production guidance (BASELINE.md toy
-                        # synthesis): pseudo-label WINDOW — boot the hidden
-                        # layers, release at mid-horizon (the measured
-                        # balanced point was 5k of a 10k run) so the term
-                        # whose trunk-leaked gradient drives late layer-0
-                        # drift is gone for the second half.
-                        consistency_stop_step=50_000),
+                        # Anti-offloading margin (r4 winner `margin_freeze`,
+                        # BASELINE.md r4 synthesis): deep layers win a pixel
+                        # only by beating layer-0 by > margin, so layer-0
+                        # keeps its photometric constraint on tie pixels —
+                        # best measured layer-0 depth at intact occ quality.
+                        min_layer0_margin=0.02),
         data=DataConfig(dataset="kitti", height=256, width=768,
                         batch_size=8),
-        train=TrainConfig(learning_rate=5e-4, warmup_steps=50),
+        # Late layer-0 freeze at 50% horizon (the r4 winner's second half):
+        # zero late drift by construction while the disocc pseudo-label
+        # keeps training the hidden layers — supersedes the r3 window
+        # schedule (consistency_stop_step), whose drift reduction came from
+        # killing that signal. Scale with max_steps if you change it.
+        train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
+                          freeze_layer0_step=50_000),
     ),
     # 2: SYNTHIA 2-layer, forward splatting + soft z-buffer compositing.
     "synthia_ldi2_splat": _cfg(
@@ -387,7 +392,14 @@ PRESETS = {
                         consistency_stop_target=True,
                         consistency_disocc_only=True,
                         consistency_deep_only=True,
-                        consistency_start_step=500),
+                        consistency_start_step=500,
+                        # r4: anti-offloading margin (see
+                        # kitti_ldi3_quality). No late freeze here: the 5k
+                        # horizon predates the measured drift onset (~5k);
+                        # for longer runs add
+                        # train.freeze_layer0_step ~= 50% of max_steps
+                        # (the measured winner's schedule).
+                        min_layer0_margin=0.02),
         data=DataConfig(dataset="synthetic", synthetic_scene="multi",
                         height=128, width=256, batch_size=8),
         train=TrainConfig(learning_rate=5e-4, warmup_steps=50,

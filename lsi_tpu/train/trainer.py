@@ -392,10 +392,11 @@ class Trainer:
             print(f"[drift] eval_abs_rel {cur:.3f} exceeds the run's best "
                   f"{best:.3f} by {drift:.3f} (> {thr}): view synthesis is "
                   f"likely being bought with geometry drift — the measured "
-                  f"mitigations are the pseudo-label window "
-                  f"(loss.consistency_stop_step) and best-checkpoint "
-                  f"selection by eval_abs_rel (BASELINE.md toy-testbed "
-                  f"synthesis; the EMA teacher was REFUTED there)",
+                  f"mitigations are the anti-offloading margin "
+                  f"(loss.min_layer0_margin=0.02), a late layer-0 freeze "
+                  f"at ~50% horizon (train.freeze_layer0_step), and "
+                  f"best-checkpoint selection by eval_abs_rel (BASELINE.md "
+                  f"r4 synthesis; the EMA teacher was REFUTED there)",
                   flush=True)
 
     def _run_eval(self, state, step: int) -> Dict[str, float]:

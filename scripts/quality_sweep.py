@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 VARIANTS = {
     # r2 flagship protocol — reproduces the measured drift (control arm).
+    # NOTE (r4): the synthetic_multi preset now ships the winner's margin
+    # (loss.min_layer0_margin=0.02), so {} is no longer the historical
+    # control — use `control_r3` to reproduce the r2/r3 drifting baseline.
     "base": {},
+    "control_r3": {"loss.min_layer0_margin": 0.0},
     # SURVEY §2 depth-consistency term (cross-view, both directions).
     "cons": {"loss.consistency_weight": 0.5},
     # consistency + symmetric photometric (monodepth-style both-ways).

@@ -18,6 +18,10 @@ def test_presets_exist():
     q = get_config("kitti_ldi3_quality")
     assert q.loss.symmetric and q.loss.consistency_anchor_weight > 0
     assert q.loss.consistency_deep_only and q.loss.consistency_disocc_only
+    # ... plus the r4 margin_freeze winner (BASELINE.md r4 synthesis)
+    assert q.loss.min_layer0_margin > 0
+    assert q.train.freeze_layer0_step == q.train.max_steps // 2
+    assert get_config("synthetic_multi").loss.min_layer0_margin > 0
     assert get_config("mpi_baseline").model.family == "mpi"
     assert get_config("synthetic_multi").data.synthetic_scene == "multi"
     cfg = get_config("kitti_ldi3_b16")

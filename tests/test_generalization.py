@@ -85,12 +85,15 @@ def test_depth_drift_bounded(tmp_path):
     from lsi_tpu.train.trainer import Trainer
 
     cfg = get_config("synthetic_multi")
-    # The CPU toy testbed scale (quality_sweep.TOY) + the shipped recipe.
+    # The CPU toy testbed scale (quality_sweep.TOY) + the shipped recipe at
+    # the 10k horizon: the preset carries the margin; the late freeze
+    # scales with the horizon (50% — the measured `margin_freeze` arm).
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, height=32, width=64,
                                  batch_size=4),
         train=dataclasses.replace(
             cfg.train, max_steps=10_000, warmup_steps=50, log_every=500,
+            freeze_layer0_step=5_000,
             checkpoint_dir=str(tmp_path / "ckpt"),
             checkpoint_every=10_000, eval_every=500,
             eval_batches=8, seed=0))
@@ -106,9 +109,10 @@ def test_depth_drift_bounded(tmp_path):
     settled = [v for s, v in evals if s >= 500]
     late = np.mean([v for _, v in evals[-2:]])
     drift = late - min(settled)
-    # r3 control measured +0.18 at this horizon; the shipped recipe's
-    # measured drift + the +-0.03 single-eval noise band sets the bound
-    # (BASELINE.md r4 toy synthesis).
-    assert drift <= 0.12, (
+    # r3 control measured +0.18 at this horizon; the shipped margin_freeze
+    # recipe measured +0.028 (= the +-0.03 single-eval noise band — layer-0
+    # is bitwise frozen from 5k). Bound = measured + noise, far below the
+    # control (BASELINE.md r4 toy synthesis).
+    assert drift <= 0.08, (
         f"layer-0 abs_rel drifted {drift:+.3f} from its post-warmup minimum "
         f"{min(settled):.3f}; trajectory: {evals}")
