@@ -60,7 +60,7 @@ requires_drift10k = pytest.mark.skipif(
 
 @requires_drift10k
 @pytest.mark.slow
-def test_depth_drift_bounded(tmp_path):
+def test_depth_drift_bounded(tmp_path, monkeypatch):
     """VERDICT r2 item 1 done-criterion: depth accuracy must not degrade as
     view synthesis improves.
 
@@ -83,6 +83,20 @@ def test_depth_drift_bounded(tmp_path):
 
     from lsi_tpu.config import get_config
     from lsi_tpu.train.trainer import Trainer
+
+    import jax
+
+    from lsi_tpu.parallel import mesh as mesh_mod
+    from lsi_tpu.train import trainer as trainer_mod
+
+    # The documented testbed is batch 4 on ONE device (the sweep arms this
+    # test's bound was derived from ran outside pytest, without the
+    # conftest's 8-device virtual mesh — b4 doesn't shard 8 ways). Pin the
+    # trainer to a single device so the protocol matches the measurements
+    # exactly.
+    monkeypatch.setattr(
+        trainer_mod, "make_mesh_plan",
+        lambda: mesh_mod.make_mesh_plan(devices=jax.devices()[:1]))
 
     cfg = get_config("synthetic_multi")
     # The CPU toy testbed scale (quality_sweep.TOY) + the shipped recipe at
