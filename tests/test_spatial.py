@@ -174,13 +174,29 @@ def test_spatial_render_is_differentiable(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def _maybe_interpret():
+    """Real Mosaic kernel on the chip, interpret mode elsewhere.
+
+    Off-TPU the kernel only exists in interpret mode. On the chip the
+    real kernel is both the stronger check (it is what production runs)
+    and the only viable one: force_tpu_interpret_mode lowers the kernel
+    body to a huge graph of per-element TPU ops whose remote compile
+    exceeds the tunnel deadline (r4 suite: both tests died UNAVAILABLE
+    mid-compile after ~25 min each; the Mosaic path compiles in seconds).
+    """
+    import contextlib
+    from jax.experimental.pallas import tpu as pltpu
+    if jax.default_backend() == "tpu":
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
+
 def test_kernel_fold_offset_matches_windowed_lax(rng):
     """The shard-local kernel contract (fold_h + base_offset, used by the
     TPU branch of the spatial render) matches the windowed lax oracle with
-    the same base rows — forward and VJP (interpret mode, no shard_map:
-    pallas interpret inside shard_map stalls on CPU)."""
-    from jax.experimental.pallas import tpu as pltpu
-
+    the same base rows — forward and VJP. Interpret mode off-TPU (no
+    shard_map: pallas interpret inside shard_map stalls on CPU); the real
+    Mosaic kernel on the chip."""
     from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
 
     b, l, hd, w, pad = 1, 2, 8, 128, 3
@@ -195,7 +211,7 @@ def test_kernel_fold_offset_matches_windowed_lax(rng):
         np.stack([bx + rng.uniform(-9, 9, (b, hs, w)), by], -1), jnp.float32)
 
     def f_pallas(v):
-        with pltpu.force_tpu_interpret_mode():
+        with _maybe_interpret():
             a, ws_ = splat_pallas_diff(v, coords, wts, (out_h_local, w),
                                        16, 1, 8, hd, pad)
         return a, ws_
@@ -222,16 +238,15 @@ def test_kernel_fold_offset_matches_windowed_lax(rng):
 def test_two_shard_pallas_halo_composition_manual(rng):
     """End-to-end proxy for the production multi-shard Pallas composition
     (VERDICT r2 weak #5): simulate render_forward_spatial's TPU branch —
-    per-shard Pallas kernel (fold_h + base_offset contract, interpret mode)
-    + manual halo exchange + post-exchange normalize — over TWO shards
-    without shard_map (interpret-mode pallas stalls inside shard_map on
-    CPU), and require equality with the global windowed lax render. This
-    exercises exactly the code path `use_pallas + shard_map + ndev>1` takes
-    on a real pod, minus only the ppermute transport (replaced by the same
-    strip adds it performs).
+    per-shard Pallas kernel (fold_h + base_offset contract; interpret mode
+    off-TPU, real Mosaic kernel on the chip) + manual halo exchange +
+    post-exchange normalize — over TWO shards without shard_map
+    (interpret-mode pallas stalls inside shard_map on CPU), and require
+    equality with the global windowed lax render. This exercises exactly
+    the code path `use_pallas + shard_map + ndev>1` takes on a real pod,
+    minus only the ppermute transport (replaced by the same strip adds it
+    performs).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
     from lsi_tpu.geometry import projection
     from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
     from lsi_tpu.utils.helpers import divide_safe
@@ -278,7 +293,7 @@ def test_two_shard_pallas_halo_composition_manual(rng):
             [tex_k.astype(jnp.float32).reshape(b, l * hd, w, 3), td], -1)
         local_coords = tc - jnp.asarray([0.0, 1.0], jnp.float32) * (
             row0 - pad)
-        with pltpu.force_tpu_interpret_mode():
+        with _maybe_interpret():
             a_k, w_k = splat_pallas_diff(
                 payload, local_coords, weights, (hd + 2 * pad, w),
                 16, max_dy, 8, hd, pad)
