@@ -265,6 +265,30 @@ class TrainConfig:
                                      # post-warmup abs_rel minimum (~50% of
                                      # the horizon on the toy testbed,
                                      # BASELINE.md). LDI family only.
+    save_best_params: bool = True    # each in-training eval that improves
+                                     # eval_abs_rel exports the params to
+                                     # <checkpoint_dir>/best_params.npz (+
+                                     # best_params.json sidecar with step +
+                                     # value) — automated best-checkpoint
+                                     # selection (the measured drift
+                                     # mitigation), outside the orbax
+                                     # rotation so max_to_keep can't evict
+                                     # it; the sidecar seeds the tracker
+                                     # across chunked-run segments. No-op
+                                     # when eval_every == 0.
+    freeze_layer0_from_best: bool = False  # with freeze_layer0_step > 0: at
+                                     # the freeze boundary, splice the
+                                     # best_params.npz values into every
+                                     # entry layer-0 depends on (deep heads
+                                     # keep their live values and keep
+                                     # training), THEN freeze. Layer-0 =
+                                     # the best geometry the run measured,
+                                     # made immutable — robust to transient
+                                     # collapses a fixed-step freeze would
+                                     # pin (r4 flagship run, BASELINE.md).
+                                     # Falls back to freezing the live
+                                     # params (with a warning) if no best
+                                     # export exists at the boundary.
     skip_nonfinite_updates: bool = True  # optax.apply_if_finite: a step with
                                      # inf/nan grads is SKIPPED (params/opt
                                      # state untouched) instead of poisoning
@@ -340,8 +364,14 @@ PRESETS = {
         # keeps training the hidden layers — supersedes the r3 window
         # schedule (consistency_stop_step), whose drift reduction came from
         # killing that signal. Scale with max_steps if you change it.
+        # freeze_layer0_from_best: the r4 flagship run showed a fixed-step
+        # freeze can pin the half-recovered tail of a transient collapse
+        # (abs_rel 0.43 vs the run's best 0.21); splicing the best export
+        # at the boundary pins the best measured geometry instead.
         train=TrainConfig(learning_rate=5e-4, warmup_steps=50,
-                          freeze_layer0_step=50_000),
+                          eval_every=2000,
+                          freeze_layer0_step=50_000,
+                          freeze_layer0_from_best=True),
     ),
     # 2: SYNTHIA 2-layer, forward splatting + soft z-buffer compositing.
     "synthia_ldi2_splat": _cfg(

@@ -20,17 +20,34 @@ from lsi_tpu.geometry.ldi import LDI
 from lsi_tpu.models.unet import UNet
 
 
+def _layer0_owned_channels(cfg: ModelConfig, name: str) -> int:
+    """How much of a top-level param module layer-0's output depends on.
+
+    Returns -1 for "the whole tensor" (the shared UNet trunk), N for "the
+    leading N output channels" (channel 0 of ``disp_head``; channels 0-2 of
+    ``tex_head`` when layer-0 texture is predicted — a conv's output
+    channels have disjoint kernels, so per-channel slicing separates the
+    layers exactly), and 0 for deep-only modules. In the
+    ``deep_heads_stopgrad_trunk`` architecture the heads are disjoint
+    modules and ``disp_head``/``tex_head`` are layer-0-only, so the leading
+    slice IS the whole tensor there. The single source of truth for the
+    layer-0/deep param partition — used by both the freeze mask and the
+    best-checkpoint splice below.
+    """
+    if name.startswith("UNet"):
+        return -1
+    if name == "disp_head":
+        return 1
+    if name == "tex_head" and not cfg.layer0_texture_from_input:
+        return 3
+    return 0
+
+
 def freeze_layer0_grad_mask(cfg: ModelConfig, tree):
     """Zero the entries of a grad/update pytree that feed layer-0's output.
 
-    The late-phase layer-0 freeze (``train.freeze_layer0_step``): layer-0's
-    texture/disparity depend on the UNet trunk plus the LEADING output
-    channels of the shared heads (channel 0 of ``disp_head``; channels 0-2 of
-    ``tex_head`` when layer-0 texture is predicted), while deeper layers own
-    the remaining channels — a conv's output channels have disjoint kernels,
-    so per-channel masking separates the layers exactly. In the
-    ``deep_heads_stopgrad_trunk`` architecture the heads are disjoint modules
-    and the layer-0 ones (``disp_head``/``tex_head``) zero out whole.
+    The late-phase layer-0 freeze (``train.freeze_layer0_step``): see
+    ``_layer0_owned_channels`` for the exact param partition.
 
     Applied by the trainer to BOTH the gradients (keeps Adam moments of
     frozen entries decaying instead of accumulating) and the optimizer
@@ -39,17 +56,37 @@ def freeze_layer0_grad_mask(cfg: ModelConfig, tree):
     constant from the switch on.
     """
     def mask(path, g):
-        name = getattr(path[0], "key", str(path[0]))
-        if name.startswith("UNet"):
+        n = _layer0_owned_channels(cfg, getattr(path[0], "key",
+                                                str(path[0])))
+        if n < 0:
             return jnp.zeros_like(g)
-        if name == "disp_head":
-            return g.at[..., :1].set(0.0)
-        if name == "tex_head" and not cfg.layer0_texture_from_input:
-            # Predicted layer-0 texture = leading 3 channels (all 3 in the
-            # stopgrad-trunk architecture, where tex_head is layer-0-only).
-            return g.at[..., :3].set(0.0)
+        if n:
+            return g.at[..., :n].set(0.0)
         return g
     return jax.tree_util.tree_map_with_path(mask, tree)
+
+
+def splice_layer0_params(cfg: ModelConfig, live, best):
+    """Replace every param entry layer-0's output depends on with ``best``.
+
+    The value side of ``freeze_layer0_grad_mask``'s partition: entries the
+    mask freezes are taken from ``best`` (the run's best-eval export), the
+    deep-only remainder keeps the ``live`` values. Used by
+    ``train.freeze_layer0_from_best``: at the freeze boundary layer-0
+    becomes "the best geometry the run ever measured, then immutable" —
+    robust to both slow drift and transient collapses that a fixed-step
+    freeze would pin (the r4 flagship run collapsed at ~step 2000 and the
+    50%-horizon freeze captured the half-recovered state; BASELINE.md).
+    """
+    def splice(path, lv, bv):
+        n = _layer0_owned_channels(cfg, getattr(path[0], "key",
+                                                str(path[0])))
+        if n < 0:
+            return jnp.asarray(bv, lv.dtype)
+        if n:
+            return lv.at[..., :n].set(jnp.asarray(bv[..., :n], lv.dtype))
+        return lv
+    return jax.tree_util.tree_map_with_path(splice, live, best)
 
 
 class LDIPredictor(nn.Module):

@@ -46,7 +46,8 @@ def build_model(model_cfg: ModelConfig):
             f"unknown model family {model_cfg.family!r}; use ldi|mpi")
     return LDIPredictor(model_cfg)
 from lsi_tpu.parallel.mesh import MeshPlan, assert_divisible, make_mesh_plan
-from lsi_tpu.train.checkpoint import CheckpointManager, export_params_npz
+from lsi_tpu.train.checkpoint import (CheckpointManager, export_params_npz,
+                                      import_params_npz)
 from lsi_tpu.train.metrics import MetricWriter
 
 
@@ -340,6 +341,23 @@ class Trainer:
         # compiled step; update masking makes layer-0 bitwise constant).
         self._freeze_step_fn = None
         fz = self.config.train.freeze_layer0_step
+        if self.config.train.freeze_layer0_from_best:
+            # Statically checkable preconditions — a silent fallback here
+            # would burn the whole pre-freeze leg and then pin the live
+            # params, exactly the failure the flag exists to prevent.
+            ev = self.config.train.eval_every
+            if fz <= 0:
+                raise ValueError("train.freeze_layer0_from_best requires "
+                                 "train.freeze_layer0_step > 0")
+            if not self.config.train.save_best_params:
+                raise ValueError("train.freeze_layer0_from_best requires "
+                                 "train.save_best_params=True (the splice "
+                                 "source is the best-eval export)")
+            if ev <= 0 or ev > fz:
+                raise ValueError(
+                    f"train.freeze_layer0_from_best needs at least one "
+                    f"in-training eval before the freeze boundary: "
+                    f"eval_every={ev} vs freeze_layer0_step={fz}")
         if fz > 0:
             if self.config.model.family != "ldi":
                 raise ValueError("train.freeze_layer0_step is an LDI-family "
@@ -367,6 +385,11 @@ class Trainer:
         self._eval_step = None
         self._eval_iter = None
         self._best_eval_abs_rel = None
+        self._best_export_abs_rel = None  # save_best_params tracker; seeded
+                                          # from the best_params.json sidecar
+                                          # (NOT train.jsonl: only evals that
+                                          # actually exported count, so the
+                                          # feature can be enabled mid-run)
 
     def _update_drift(self, out: Dict[str, float]) -> None:
         """Failure detection for geometry drift (the r3 finding: layer-0
@@ -427,8 +450,80 @@ class Trainer:
                                f"step_{step:08d}")
         export_image_grid(*grid_args, img_dir)
         self._update_drift(out)
+        self._maybe_export_best(state, step, out)
         self.writer.write(step, out)
         return out
+
+    def _maybe_export_best(self, state, step: int,
+                           out: Dict[str, float]) -> None:
+        """Automated best-checkpoint selection (train.save_best_params):
+        export the params to best_params.npz whenever eval_abs_rel improves
+        on the best export so far. The npz lives outside the orbax rotation
+        (max_to_keep can't evict it) and the json sidecar carries
+        step + value — both for the operator and to seed this tracker
+        across chunked-run segments."""
+        cfg = self.config
+        if not cfg.train.save_best_params or "eval_abs_rel" not in out:
+            return
+        import json
+        side = os.path.join(cfg.train.checkpoint_dir, "best_params.json")
+        if self._best_export_abs_rel is None:
+            try:
+                with open(side) as f:
+                    self._best_export_abs_rel = float(
+                        json.load(f)["eval_abs_rel"])
+            except (OSError, ValueError, KeyError):
+                pass
+        cur = float(out["eval_abs_rel"])
+        if (self._best_export_abs_rel is not None
+                and cur >= self._best_export_abs_rel):
+            return
+        self._best_export_abs_rel = cur
+        # Atomic, npz first: a crash mid-export must leave either the
+        # previous consistent (npz, sidecar) pair or the new one — a
+        # truncated npz would kill the run at the freeze boundary, and a
+        # newer sidecar over an older npz would let a worse later eval
+        # overwrite the run's true best.
+        npz = os.path.join(cfg.train.checkpoint_dir, "best_params.npz")
+        export_params_npz(jax.device_get(state.params), npz + ".tmp.npz")
+        os.replace(npz + ".tmp.npz", npz)
+        with open(side + ".tmp", "w") as f:
+            json.dump({"step": step, "eval_abs_rel": cur}, f)
+        os.replace(side + ".tmp", side)
+
+    def _splice_best_layer0(self, state):
+        """train.freeze_layer0_from_best: at the freeze boundary, replace
+        every param entry layer-0 depends on with the run's best export
+        (splice_layer0_params), so the freeze pins the best geometry the
+        run measured rather than whatever the boundary step holds. Deep
+        heads keep their live values and keep training."""
+        import json
+
+        from lsi_tpu.models.ldi_predictor import splice_layer0_params
+        cfg = self.config
+        npz = os.path.join(cfg.train.checkpoint_dir, "best_params.npz")
+        if not os.path.exists(npz):
+            print("[freeze] freeze_layer0_from_best: no best_params.npz in "
+                  f"{cfg.train.checkpoint_dir} (no eval improved yet, or "
+                  "eval/save_best_params off) — freezing the live params",
+                  flush=True)
+            return state
+        template = jax.device_get(state.params)
+        best = import_params_npz(template, npz)
+        params = splice_layer0_params(cfg.model, state.params, best)
+        try:
+            with open(os.path.join(cfg.train.checkpoint_dir,
+                                   "best_params.json")) as f:
+                meta = json.load(f)
+            src = (f"step {meta['step']}, "
+                   f"eval_abs_rel {meta['eval_abs_rel']:.4f}")
+        except (OSError, ValueError, KeyError):
+            src = "sidecar missing"
+        print(f"[freeze] layer-0 spliced from best_params.npz ({src}) "
+              "and frozen; deep heads continue from the live state",
+              flush=True)
+        return dataclasses.replace(
+            state, params=self.plan.replicate(params))
 
     def train(self, max_steps: Optional[int] = None,
               data_iter=None) -> Tuple[TrainState, Dict[str, Any]]:
@@ -455,6 +550,15 @@ class Trainer:
         try:
             for step in range(start_step, max_steps):
                 batch = next(data_iter)
+                if (self._freeze_step_fn is not None
+                        and cfg.train.freeze_layer0_from_best
+                        and step == cfg.train.freeze_layer0_step):
+                    # Crossing the freeze boundary live (a resume PAST the
+                    # boundary restores already-spliced params and must not
+                    # re-splice; a crash between the boundary and the next
+                    # checkpoint resumes before it and re-splices from the
+                    # same npz — deterministic either way).
+                    state = self._splice_best_layer0(state)
                 if (self._stage_step_fn is not None
                         and step < cfg.train.stage_layer0_steps):
                     step_fn = self._stage_step_fn

@@ -21,6 +21,11 @@ def test_presets_exist():
     # ... plus the r4 margin_freeze winner (BASELINE.md r4 synthesis)
     assert q.loss.min_layer0_margin > 0
     assert q.train.freeze_layer0_step == q.train.max_steps // 2
+    # ... with the freeze splicing the run's best export (r4 flagship
+    # finding: a fixed-step freeze can pin a transient collapse), which
+    # needs in-training evals to select from
+    assert q.train.freeze_layer0_from_best and q.train.save_best_params
+    assert q.train.eval_every > 0
     assert get_config("synthetic_multi").loss.min_layer0_margin > 0
     assert get_config("mpi_baseline").model.family == "mpi"
     assert get_config("synthetic_multi").data.synthetic_scene == "multi"

@@ -377,3 +377,50 @@ def test_trainer_freeze_phase_validation(tmp_path):
         train=dataclasses.replace(cfg.train, freeze_layer0_step=10))
     with pytest.raises(ValueError, match="LAST phase"):
         Trainer(bad_order)
+
+
+def test_splice_layer0_params_partition():
+    """splice_layer0_params takes exactly the freeze partition from `best`:
+    the whole UNet trunk, disp_head channel 0, tex_head channels 0-2 (when
+    layer-0 texture is predicted) — everything else keeps the live values.
+    Mirrors freeze_layer0_grad_mask (shared _layer0_owned_channels)."""
+    import jax
+
+    from lsi_tpu.models.ldi_predictor import (freeze_layer0_grad_mask,
+                                              splice_layer0_params)
+
+    cfg = tiny_config().model
+    cfg = dataclasses.replace(cfg, layer0_texture_from_input=False)
+    live = create_state(tiny_config().replace(model=cfg),
+                        jax.random.key(0)).params
+    best = jax.tree_util.tree_map(lambda x: x + 1.0, live)
+    spliced = splice_layer0_params(cfg, live, best)
+
+    for k in spliced:
+        if k.startswith("UNet"):
+            for a, b in zip(jax.tree_util.tree_leaves(spliced[k]),
+                            jax.tree_util.tree_leaves(best[k])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    d_s = np.asarray(spliced["disp_head"]["kernel"])
+    d_l = np.asarray(live["disp_head"]["kernel"])
+    d_b = np.asarray(best["disp_head"]["kernel"])
+    np.testing.assert_array_equal(d_s[..., :1], d_b[..., :1])
+    np.testing.assert_array_equal(d_s[..., 1:], d_l[..., 1:])
+    t_s = np.asarray(spliced["tex_head"]["kernel"])
+    np.testing.assert_array_equal(
+        t_s[..., :3], np.asarray(best["tex_head"]["kernel"])[..., :3])
+    np.testing.assert_array_equal(
+        t_s[..., 3:], np.asarray(live["tex_head"]["kernel"])[..., 3:])
+
+    # the splice and the mask agree on the partition: entries the mask
+    # zeroes are exactly the entries the splice replaced
+    mask = freeze_layer0_grad_mask(cfg, jax.tree_util.tree_map(
+        jnp.ones_like, live))
+    changed = jax.tree_util.tree_map(
+        lambda s, l: (np.asarray(s) != np.asarray(l)).astype(np.float32),
+        spliced, live)
+    for m, c in zip(jax.tree_util.tree_leaves(mask),
+                    jax.tree_util.tree_leaves(changed)):
+        # mask==0 <=> frozen <=> taken from best (best = live+1 everywhere,
+        # so "changed" marks the replaced entries exactly)
+        np.testing.assert_array_equal(1.0 - np.asarray(m), c)

@@ -175,3 +175,94 @@ def test_drift_monitor(tmp_path, capsys):
     out = {"eval_abs_rel": 9.9}
     t2._update_drift(out)
     assert "eval_abs_rel_drift" not in out
+
+
+def test_save_best_params_and_freeze_from_best(tmp_path):
+    """Automated best-checkpoint selection + freeze-from-best: each eval
+    that improves eval_abs_rel exports best_params.npz (+ json sidecar);
+    with train.freeze_layer0_from_best, the freeze boundary splices the
+    best export into every layer-0-owned entry — layer-0's output after
+    training is BITWISE the best export's layer-0 output, while deep heads
+    kept training from the live state."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsi_tpu.train.checkpoint import import_params_npz
+    from lsi_tpu.train.trainer import build_model
+
+    ckpt = tmp_path / "ckpt"
+    cfg = tiny_config(ckpt).replace(
+        model=ModelConfig(num_layers=2, base_filters=8, num_scales=2,
+                          compute_dtype="float32",
+                          layer0_texture_from_input=False),
+        train=TrainConfig(learning_rate=1e-3, warmup_steps=2, max_steps=10,
+                          checkpoint_dir=str(ckpt), log_every=2,
+                          checkpoint_every=5, eval_every=2, eval_batches=1,
+                          freeze_layer0_step=6, freeze_layer0_from_best=True,
+                          seed=0))
+    t = Trainer(cfg)
+    state, _ = t.train()
+    assert int(state.step) == 10
+
+    # --- save_best_params artifacts
+    npz = ckpt / "best_params.npz"
+    side = ckpt / "best_params.json"
+    assert npz.exists() and side.exists()
+    meta = json.load(open(side))
+    recs = [json.loads(l) for l in open(ckpt / "train.jsonl")
+            if "eval_abs_rel" in l]
+    evals = {r["step"]: r["eval_abs_rel"] for r in recs}
+    # the sidecar records the best eval seen at export time; only
+    # pre-freeze evals can improve layer-0, but deep-layer training may
+    # still improve abs_rel later — so assert it matches the eval at the
+    # recorded step and is the min over all evals up to that step
+    assert meta["step"] in evals
+    assert abs(meta["eval_abs_rel"] - evals[meta["step"]]) < 1e-6
+    assert meta["eval_abs_rel"] <= min(v for s, v in evals.items()
+                                       if s <= meta["step"]) + 1e-9
+
+    # --- freeze-from-best: layer-0 output equals the best export's,
+    # bitwise, because the splice happened at step 6 and froze
+    model = build_model(cfg.model)
+    best = import_params_npz(jax.device_get(state.params), str(npz))
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 16, 32, 3),
+                      jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
+    out_final = model.apply({"params": jax.device_get(state.params)},
+                            img, eye)
+    out_best = model.apply({"params": best}, img, eye)
+    # NOTE: valid only if the best export predates the freeze boundary —
+    # post-freeze exports have the SAME layer-0 by construction, so the
+    # equality holds either way.
+    np.testing.assert_array_equal(np.asarray(out_final.disparities[:, 0]),
+                                  np.asarray(out_best.disparities[:, 0]))
+    np.testing.assert_array_equal(np.asarray(out_final.textures[:, 0]),
+                                  np.asarray(out_best.textures[:, 0]))
+    # deep layer kept training after the splice: differs from the best
+    # export — unless the best export IS the final eval (possible: frozen
+    # layer-0 + per-eval fresh batches means a late eval can win by batch
+    # luck), in which case the two trees coincide by construction
+    if meta["step"] != 10:
+        assert not np.array_equal(np.asarray(out_final.disparities[:, 1]),
+                                  np.asarray(out_best.disparities[:, 1]))
+
+
+def test_freeze_from_best_validation(tmp_path):
+    """freeze_layer0_from_best misconfigs raise at Trainer construction,
+    not as a silent live-params fallback 50k steps later."""
+    import pytest
+
+    base = tiny_config(tmp_path / "ckpt")
+    ok = dict(learning_rate=1e-3, warmup_steps=2, max_steps=10,
+              checkpoint_dir=str(tmp_path / "ckpt"), log_every=2,
+              checkpoint_every=5, freeze_layer0_from_best=True)
+    for bad in (dict(freeze_layer0_step=0, eval_every=2),      # no freeze
+                dict(freeze_layer0_step=6, eval_every=0),      # no evals
+                dict(freeze_layer0_step=6, eval_every=8),      # eval too late
+                dict(freeze_layer0_step=6, eval_every=2,
+                     save_best_params=False)):                 # no export
+        with pytest.raises(ValueError):
+            Trainer(base.replace(train=TrainConfig(**ok, **bad)))
+    # the valid shape constructs
+    Trainer(base.replace(train=TrainConfig(
+        **ok, freeze_layer0_step=6, eval_every=2)))
