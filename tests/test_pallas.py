@@ -373,3 +373,36 @@ def test_bwd_kernel_matches_gather_impl(rng, monkeypatch):
     for a, b, name in zip(g_ker, g_ref, ("values", "coords", "weights")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4, err_msg=name)
+
+
+def test_row_blocking_renormalizes_non_power_of_two():
+    """The bwd VMEM halving can produce non-multiple-of-8 block_rows from a
+    caller-supplied non-power-of-two value (24 -> 12 -> 6), breaking the
+    Mosaic (8, 128) block rule; _row_blocking re-normalizes (r4 advisor)."""
+    from lsi_tpu.kernels.splat_pallas import _row_blocking
+
+    # halving wreckage gets renormalized to a legal multiple of 8
+    assert _row_blocking(48, 12) == (48, 8)
+    assert _row_blocking(48, 6) == (48, 8)
+    # power-of-two defaults pass through
+    assert _row_blocking(64, 32) == (64, 32)
+    assert _row_blocking(48, 32) == (48, 16)
+    # 24 is itself a multiple of 8 dividing 24: legal as-is
+    assert _row_blocking(24, 24) == (24, 24)
+
+
+def test_tent_precision_env(monkeypatch):
+    """LSI_TPU_TENT_PRECISION selects the tent-matmul MXU policy; the
+    shipped default is HIGHEST (f32-exact; docs/perf.md §12)."""
+    from lsi_tpu.kernels.splat_pallas import tent_precision
+
+    monkeypatch.delenv("LSI_TPU_TENT_PRECISION", raising=False)
+    assert tent_precision() == jax.lax.Precision.HIGHEST
+    for name, want in (("default", jax.lax.Precision.DEFAULT),
+                       ("high", jax.lax.Precision.HIGH),
+                       ("highest", jax.lax.Precision.HIGHEST)):
+        monkeypatch.setenv("LSI_TPU_TENT_PRECISION", name)
+        assert tent_precision() == want
+    monkeypatch.setenv("LSI_TPU_TENT_PRECISION", "bogus")
+    with pytest.raises(ValueError):
+        tent_precision()

@@ -266,3 +266,213 @@ def test_freeze_from_best_validation(tmp_path):
     # the valid shape constructs
     Trainer(base.replace(train=TrainConfig(
         **ok, freeze_layer0_step=6, eval_every=2)))
+
+
+def test_best_export_meta_rides_inside_npz(tmp_path):
+    """The best export commits params + (step, metric) as ONE atomic npz
+    (r4 advisor finding: the two-file npz-then-sidecar commit had a crash
+    window pairing a new npz with a stale sidecar, seeding the tracker
+    with a worse value that a later mediocre eval could then overwrite)."""
+    import jax
+
+    from lsi_tpu.train.checkpoint import read_params_npz_meta
+    from lsi_tpu.train.trainer import create_state
+
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(ckpt)
+    cfg = tiny_config(ckpt)
+    t = Trainer(cfg)
+    state = create_state(cfg, __import__("jax").random.key(0))
+
+    t._maybe_export_best(state, 4, {"eval_abs_rel": 0.3})
+    meta = read_params_npz_meta(str(ckpt / "best_params.npz"))
+    assert meta["step"] == 4 and abs(meta["eval_abs_rel"] - 0.3) < 1e-9
+
+    # A fresh Trainer seeds its tracker from the npz meta even when the
+    # sidecar is STALE (simulated crash window): a later eval worse than
+    # the npz's true best must NOT overwrite it.
+    json.dump({"step": 1, "eval_abs_rel": 9.9},
+              open(ckpt / "best_params.json", "w"))
+    t2 = Trainer(cfg)
+    t2._maybe_export_best(state, 6, {"eval_abs_rel": 0.5})
+    meta = read_params_npz_meta(str(ckpt / "best_params.npz"))
+    assert meta["step"] == 4  # 0.5 did not beat the npz's 0.3
+
+    # and a genuinely better eval still exports
+    t2._maybe_export_best(state, 8, {"eval_abs_rel": 0.2})
+    meta = read_params_npz_meta(str(ckpt / "best_params.npz"))
+    assert meta["step"] == 8 and abs(meta["eval_abs_rel"] - 0.2) < 1e-9
+
+
+def test_fresh_start_removes_stale_best_params(tmp_path, capsys):
+    """A reused checkpoint_dir with best_params artifacts from ANOTHER run
+    must not seed the tracker (or the freeze splice) with that run's values:
+    a fresh start (no checkpoint restored) deletes them (r4 advisor)."""
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(ckpt)
+    (ckpt / "best_params.npz").write_bytes(b"stale")
+    json.dump({"step": 99, "eval_abs_rel": 0.01},
+              open(ckpt / "best_params.json", "w"))
+    json.dump({"count": 2}, open(ckpt / "rollback_state.json", "w"))
+
+    t = Trainer(tiny_config(ckpt))
+    state, _ = t.train(max_steps=2)
+    assert int(state.step) == 2
+    assert not (ckpt / "best_params.npz").exists()
+    assert not (ckpt / "best_params.json").exists()
+    assert not (ckpt / "rollback_state.json").exists()
+    assert "fresh start: removed stale" in capsys.readouterr().out
+
+
+def test_freeze_from_best_boundary_is_a_hard_error_without_export(tmp_path):
+    """With freeze_layer0_from_best, a missing best_params.npz at the
+    boundary raises (the silent live-params fallback was exactly the r4
+    flagship failure); freeze_fallback_live=True opts back in."""
+    import pytest
+
+    ckpt = tmp_path / "ckpt"
+    cfg = tiny_config(ckpt).replace(train=TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        checkpoint_dir=str(ckpt), log_every=2, checkpoint_every=5,
+        eval_every=2, eval_batches=1, freeze_layer0_step=6,
+        freeze_layer0_from_best=True, seed=0))
+    t = Trainer(cfg)
+
+    class _S:
+        params = None
+
+    # no export on disk -> hard error
+    with pytest.raises(FileNotFoundError):
+        t._splice_best_layer0(_S())
+
+    # opt-in fallback returns the live state with a warning
+    t2 = Trainer(cfg.replace(train=dataclasses.replace(
+        cfg.train, freeze_fallback_live=True)))
+    s = _S()
+    assert t2._splice_best_layer0(s) is s
+
+
+def test_gt_free_eval_fails_fast_with_freeze_from_best(tmp_path):
+    """When eval can't produce eval_abs_rel (no GT depth), the FIRST eval
+    raises rather than burning the pre-freeze leg (r4 verdict weak #3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    ckpt = tmp_path / "ckpt"
+    cfg = tiny_config(ckpt).replace(train=TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        checkpoint_dir=str(ckpt), log_every=2, checkpoint_every=5,
+        eval_every=2, eval_batches=1, freeze_layer0_step=6,
+        freeze_layer0_from_best=True, seed=0))
+    t = Trainer(cfg)
+    # fake a GT-free eval pipeline (the raise happens before the image grid)
+    t._eval_step = lambda params, batch: ({"psnr": jnp.float32(20.0)},
+                                          None, None)
+    t._eval_iter = iter(lambda: None, 1)
+
+    class _S:
+        params = None
+
+    with pytest.raises(ValueError, match="eval_abs_rel"):
+        t._run_eval(_S(), 2)
+
+    # freeze_fallback_live tolerates GT-free eval... but then the grid
+    # export runs, so just assert the probe itself passes the raise point
+    t3 = Trainer(cfg.replace(train=dataclasses.replace(
+        cfg.train, freeze_fallback_live=False,
+        collapse_rollback_threshold=1.0)))
+    t3._eval_step = t._eval_step
+    t3._eval_iter = iter(lambda: None, 1)
+    with pytest.raises(ValueError, match="collapse_rollback_threshold"):
+        t3._run_eval(_S(), 2)
+
+
+def test_collapse_rollback(tmp_path, capsys):
+    """The collapse response (r4 flagship finding): an eval whose drift
+    above the run's best exceeds collapse_rollback_threshold restores ALL
+    params from best_params.npz (bitwise) and re-initializes the optimizer
+    (fresh Adam moments => the LR schedule replays its warmup); the budget
+    (collapse_max_rollbacks) persists via rollback_state.json."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lsi_tpu.train.trainer import create_state
+
+    ckpt = tmp_path / "ckpt"
+    os.makedirs(ckpt)
+    cfg = tiny_config(ckpt).replace(train=TrainConfig(
+        learning_rate=1e-3, warmup_steps=2, max_steps=10,
+        checkpoint_dir=str(ckpt), log_every=2, checkpoint_every=5,
+        eval_every=2, eval_batches=1, seed=0,
+        collapse_rollback_threshold=1.0, collapse_max_rollbacks=2))
+    t = Trainer(cfg)
+    state = create_state(cfg, jax.random.key(0))
+
+    # export a best at abs_rel 0.2, then "collapse" the live params
+    t._maybe_export_best(state, 2, {"eval_abs_rel": 0.2})
+    best_leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    collapsed = state.replace(params=jax.tree_util.tree_map(
+        lambda p: p + 1.0, state.params))
+
+    # drift below threshold: no rollback
+    out = {"eval_abs_rel": 0.9, "eval_abs_rel_drift": 0.7}
+    assert t._maybe_rollback(collapsed, 4, out) is collapsed
+    assert "rollback" not in out
+
+    # drift above threshold: full-param restore + fresh optimizer
+    out = {"eval_abs_rel": 3.5, "eval_abs_rel_drift": 3.3}
+    rolled = t._maybe_rollback(collapsed, 6, out)
+    assert out["rollback"] == 1.0
+    assert "[rollback]" in capsys.readouterr().out
+    for got, want in zip(
+            jax.tree_util.tree_leaves(jax.device_get(rolled.params)),
+            best_leaves):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # optimizer re-initialized: bitwise equal to a fresh init (count 0,
+    # zero moments) => the warmup_cosine schedule replays its warmup
+    fresh = state.tx.init(rolled.params)
+    for got, want in zip(jax.tree_util.tree_leaves(rolled.opt_state),
+                         jax.tree_util.tree_leaves(fresh)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert json.load(open(ckpt / "rollback_state.json"))["count"] == 1
+
+    # budget: a second rollback fires, a third does not
+    out = {"eval_abs_rel": 3.5, "eval_abs_rel_drift": 3.3}
+    t._maybe_rollback(collapsed, 8, out)
+    assert out["rollback"] == 2.0
+    out = {"eval_abs_rel": 3.5, "eval_abs_rel_drift": 3.3}
+    assert t._maybe_rollback(collapsed, 10, out) is collapsed
+    assert "rollback" not in out
+    assert "budget" in capsys.readouterr().out
+
+    # the budget survives a process restart (chunked segments)
+    t2 = Trainer(cfg)
+    out = {"eval_abs_rel": 3.5, "eval_abs_rel_drift": 3.3}
+    assert t2._maybe_rollback(collapsed, 12, out) is collapsed
+
+
+def test_rollback_validation_and_stage_freeze_order(tmp_path):
+    """Misconfigs raise at construction: rollback without its
+    prerequisites; freeze boundary inside the layer-0 stage."""
+    import pytest
+
+    base = tiny_config(tmp_path / "ckpt")
+    ok = dict(learning_rate=1e-3, warmup_steps=2, max_steps=10,
+              checkpoint_dir=str(tmp_path / "ckpt"), log_every=2,
+              checkpoint_every=5)
+    with pytest.raises(ValueError, match="save_best_params"):
+        Trainer(base.replace(train=TrainConfig(
+            **ok, collapse_rollback_threshold=1.0, eval_every=2,
+            save_best_params=False)))
+    with pytest.raises(ValueError, match="eval_every"):
+        Trainer(base.replace(train=TrainConfig(
+            **ok, collapse_rollback_threshold=1.0, eval_every=0)))
+    with pytest.raises(ValueError, match="stage_layer0_steps"):
+        Trainer(base.replace(train=TrainConfig(
+            **ok, stage_layer0_steps=8, freeze_layer0_step=6)))
+    # valid shapes construct
+    Trainer(base.replace(train=TrainConfig(
+        **ok, collapse_rollback_threshold=1.0, eval_every=2)))
+    Trainer(base.replace(train=TrainConfig(
+        **ok, stage_layer0_steps=4, freeze_layer0_step=6)))
