@@ -48,7 +48,7 @@ def child(policy: str, quick: bool) -> None:
     # Training-shaped problem: 2 layers folded into rows, stereo-ish
     # coords with |dy| < 2 so the kernel window and the un-windowed oracle
     # agree exactly in support.
-    from lsi_tpu.kernels.splat_pallas import splat_pallas
+    from lsi_tpu.kernels.splat_pallas import splat_pallas_diff
     from lsi_tpu.ops.splat import splat_bilinear
 
     h, w, layers, b = 128, 256, 2, 2
@@ -82,12 +82,18 @@ def child(policy: str, quick: bool) -> None:
         acc0, ws0 = np.asarray(acc0), np.asarray(ws0)
         g0 = [np.asarray(g) for g in g0]
 
-    with jax.default_device(accel):
+    import contextlib
+
+    from jax.experimental.pallas import tpu as pltpu
+    interp = (contextlib.nullcontext() if accel.platform == "tpu"
+              else pltpu.force_tpu_interpret_mode())  # CPU smoke runs only
+    with jax.default_device(accel), interp:
         def kernel_scalar(v, c, wt):
-            acc, ws = splat_pallas(v, c, wt, (h, w), max_dy=4)
+            acc, ws = splat_pallas_diff(v, c, wt, (h, w), max_dy=4)
             return (jnp.sum(acc * loss_cot[0]) + jnp.sum(ws * loss_cot[1]))
-        acc1, ws1 = splat_pallas(jnp.asarray(values), jnp.asarray(coords),
-                                 jnp.asarray(weights), (h, w), max_dy=4)
+        acc1, ws1 = splat_pallas_diff(
+            jnp.asarray(values), jnp.asarray(coords),
+            jnp.asarray(weights), (h, w), max_dy=4)
         g1 = jax.grad(kernel_scalar, argnums=(0, 1, 2))(
             jnp.asarray(values), jnp.asarray(coords), jnp.asarray(weights))
         acc1, ws1 = np.asarray(acc1), np.asarray(ws1)
